@@ -1,0 +1,73 @@
+"""Gzip (RFC 1952) container: streaming codec + one-shot helpers.
+
+Behavioral counterpart of ``Gzip`` (``Sources/LZ77/Gzip/Gzip.swift:6,34``,
+``Gzip.Inflator.swift:4``, ``Gzip.Deflator.swift:4``).  The header writer
+emits exactly the reference's fixed header (no MTIME, XFL=0, OS=0xff —
+``Gzip.StreamHeader.swift:86-96``); the reader skips FEXTRA/FNAME/FCOMMENT
+and rejects FHCRC like the reference does.
+"""
+
+from __future__ import annotations
+
+from .checksums import crc32
+from .deflate import RawDeflator
+from .inflate import GzipInflator  # re-export: the inflate-side FSM lives there
+
+__all__ = ["GzipInflator", "GzipDeflator", "extract", "archive"]
+
+_HEADER = bytes([0x1F, 0x8B, 0x08, 0x00, 0, 0, 0, 0, 0x00, 0xFF])
+
+
+class GzipDeflator:
+    """Streaming gzip compressor (``Gzip.Deflator``)."""
+
+    def __init__(self, level: int = 9, exponent: int = 15, hint: int = 1 << 15) -> None:
+        self._raw = RawDeflator(level, exponent)
+        self._raw.out.write_bytes(_HEADER)
+        self._pending = b""
+        self._drained = 0
+        self._finished = False
+        self.hint = hint
+
+    def push(self, data: bytes, last: bool = False) -> None:
+        assert not self._finished
+        self._pending += bytes(data)
+        if last or len(self._pending) > 4096:
+            self._raw.push(self._pending, last)
+            self._pending = b""
+        if last:
+            payload = self._raw.data
+            trailer = crc32(payload).to_bytes(4, "little") + (
+                len(payload) & 0xFFFFFFFF
+            ).to_bytes(4, "little")
+            self._raw.out.write_bytes(trailer)
+            self._finished = True
+
+    def pop(self) -> bytes | None:
+        buf = self._raw.out.getvalue()
+        avail = len(buf) - self._drained
+        if avail == 0 or (not self._finished and avail < self.hint):
+            return None
+        out = buf[self._drained :]
+        self._drained = len(buf)
+        return out
+
+    def pull(self) -> bytes:
+        buf = self._raw.out.getvalue()
+        out = buf[self._drained :]
+        self._drained = len(buf)
+        return out
+
+
+def extract(data: bytes) -> bytes:
+    """One-shot gzip decompression (``Gzip.extract``, ``Gzip.swift:6``)."""
+    inflator = GzipInflator()
+    inflator.push(data)
+    return inflator.pull()
+
+
+def archive(data: bytes, level: int = 9, hint: int = 1 << 15) -> bytes:
+    """One-shot gzip compression (``Gzip.archive``, ``Gzip.swift:34``)."""
+    deflator = GzipDeflator(level=level, hint=hint)
+    deflator.push(data, last=True)
+    return deflator.pull()

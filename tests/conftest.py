@@ -1,0 +1,21 @@
+"""Test configuration.
+
+JAX tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path; benches run on the real chip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REFERENCE = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE)
