@@ -613,7 +613,7 @@ class Deflator:
             exponent = 15
         self._raw = RawDeflator(level, exponent)
         self._pending = b""
-        self._drained = 0
+        self._buffer = bytearray()
         self._finished = False
         if format == "zlib":
             # FLG check bits exactly as the reference computes them
@@ -633,22 +633,22 @@ class Deflator:
                 self._raw.out.write_bytes(
                     adler32(self._raw.data).to_bytes(4, "big")
                 )
+            else:
+                self._raw.out.pad_to_byte()
             self._finished = True
+        self._buffer += self._raw.out.drain()
 
     def pop(self) -> bytes | None:
         """Return a completed output chunk of at least ``hint`` bytes, else
         ``None`` (reference ``Deflator.pop``)."""
-        buf = self._raw.out.getvalue()
-        avail = len(buf) - self._drained
-        if avail == 0 or (not self._finished and avail < self.hint):
+        if not self._buffer or (not self._finished and len(self._buffer) < self.hint):
             return None
-        out = buf[self._drained :]
-        self._drained = len(buf)
+        out = bytes(self._buffer)
+        self._buffer.clear()
         return out
 
     def pull(self) -> bytes:
         """Drain all available output."""
-        buf = self._raw.out.getvalue()
-        out = buf[self._drained :]
-        self._drained = len(buf)
+        out = bytes(self._buffer)
+        self._buffer.clear()
         return out

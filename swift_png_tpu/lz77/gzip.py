@@ -25,7 +25,7 @@ class GzipDeflator:
         self._raw = RawDeflator(level, exponent)
         self._raw.out.write_bytes(_HEADER)
         self._pending = b""
-        self._drained = 0
+        self._buffer = bytearray()
         self._finished = False
         self.hint = hint
 
@@ -42,20 +42,18 @@ class GzipDeflator:
             ).to_bytes(4, "little")
             self._raw.out.write_bytes(trailer)
             self._finished = True
+        self._buffer += self._raw.out.drain()
 
     def pop(self) -> bytes | None:
-        buf = self._raw.out.getvalue()
-        avail = len(buf) - self._drained
-        if avail == 0 or (not self._finished and avail < self.hint):
+        if not self._buffer or (not self._finished and len(self._buffer) < self.hint):
             return None
-        out = buf[self._drained :]
-        self._drained = len(buf)
+        out = bytes(self._buffer)
+        self._buffer.clear()
         return out
 
     def pull(self) -> bytes:
-        buf = self._raw.out.getvalue()
-        out = buf[self._drained :]
-        self._drained = len(buf)
+        out = bytes(self._buffer)
+        self._buffer.clear()
         return out
 
 

@@ -1,0 +1,123 @@
+"""Scanline encode pipeline: collect → filter-select → deflate → IDAT chunks.
+
+Behavioral counterpart of ``PNG.Encoder``
+(``Sources/PNG/Encoding/PNG.Encoder.swift``): resumable (row, pass) cursor,
+``pull`` producing one IDAT-chunk-sized blob per call (``:33-129``), and
+``filter`` computing all five candidates and picking the minimum
+sum-of-abs-Int8 score (``:132-234``) — here fully numpy-vectorized (the five
+candidates have no sequential dependency), which is also the exact shape of
+the TPU filter-select kernel in :mod:`swift_png_tpu.ops.filter`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..lz77 import Deflator
+from .decoder import ADAM7, adam7_subimage, paeth
+from .format import IOS
+
+
+def filter_candidates(cur: np.ndarray, prev: np.ndarray, delay: int) -> np.ndarray:
+    """All five filtered candidates for one scanline (without filter bytes).
+
+    Returns shape (5, n) uint8.
+    """
+    n = cur.size
+    out = np.empty((5, n), np.uint8)
+    out[0] = cur
+    # sub: x - a
+    out[1, :delay] = cur[:delay]
+    out[1, delay:] = cur[delay:] - cur[:-delay]
+    # up: x - b
+    out[2] = cur - prev
+    # average: x - (a + b) >> 1
+    a = np.zeros(n, np.int16)
+    a[delay:] = cur[:-delay]
+    b = prev.astype(np.int16)
+    out[3] = cur - ((a + b) >> 1).astype(np.uint8)
+    # paeth: x - paeth(a, b, c)
+    c = np.zeros(n, np.uint8)
+    c[delay:] = prev[:-delay]
+    a8 = np.zeros(n, np.uint8)
+    a8[delay:] = cur[:-delay]
+    out[4] = cur - paeth(a8, prev, c)
+    return out
+
+
+def filter_select(cur: np.ndarray, prev: np.ndarray, delay: int) -> np.ndarray:
+    """Pick the best filter by minimum sum-of-abs-Int8 heuristic
+    (``PNG.Encoder.score``, ``PNG.Encoder.swift:230-234``); ties go to the
+    lowest filter index.  Returns the full scanline with its filter byte."""
+    candidates = filter_candidates(cur, prev, delay)
+    scores = np.abs(candidates.astype(np.int8).astype(np.int32)).sum(axis=1)
+    best = int(np.argmin(scores))
+    line = np.empty(cur.size + 1, np.uint8)
+    line[0] = best
+    line[1:] = candidates[best]
+    return line
+
+
+class Encoder:
+    """Per-image encode state (``PNG.Encoder``)."""
+
+    def __init__(self, standard: str, interlaced: bool, level: int, hint: int):
+        self.row: tuple[int, np.ndarray] | None = None
+        self.pass_: int | None | str = 0 if interlaced else "image"
+        self.deflator = Deflator(
+            "ios" if standard == IOS else "zlib",
+            level=level,
+            hint=max(1, min(hint, 0x7FFFFFFF)),
+        )
+
+    def pull(self, size: tuple[int, int], pixel, delegate) -> bytes | None:
+        """Produce the next IDAT chunk's bytes, or ``None`` when done.
+
+        ``delegate(scanline, base, stride_x)`` fills one scanline's raw bytes
+        (the image's ``collect``)."""
+        delay = (pixel.volume + 7) >> 3
+        if self.pass_ == "image":
+            pitch = (size[0] * pixel.volume + 7) >> 3
+            if self.row is not None:
+                start, last = self.row
+            else:
+                start, last = 0, np.zeros(pitch, np.uint8)
+            self.row = None
+            for y in range(start, size[1]):
+                data = self.deflator.pop()
+                if data is not None:
+                    self.row = (y, last)
+                    return data
+                cur = np.zeros(pitch, np.uint8)
+                delegate(cur, (0, y), 1)
+                self.deflator.push(filter_select(cur, last, delay).tobytes())
+                last = cur
+            self.deflator.push(b"", last=True)
+            self.pass_ = None
+        elif isinstance(self.pass_, int):
+            for z in range(self.pass_, 7):
+                (bx, by), (sx, sy) = ADAM7[z]
+                sub_x, sub_y = adam7_subimage(size, z)
+                if sub_x <= 0 or sub_y <= 0:
+                    continue
+                pitch = (sub_x * pixel.volume + 7) >> 3
+                if self.row is not None:
+                    start, last = self.row
+                else:
+                    start, last = 0, np.zeros(pitch, np.uint8)
+                self.row = None
+                for y in range(start, sub_y):
+                    data = self.deflator.pop()
+                    if data is not None:
+                        self.row = (y, last)
+                        self.pass_ = z
+                        return data
+                    cur = np.zeros(pitch, np.uint8)
+                    delegate(cur, (bx, by + y * sy), sx)
+                    self.deflator.push(filter_select(cur, last, delay).tobytes())
+                    last = cur
+            self.deflator.push(b"", last=True)
+            self.pass_ = None
+
+        out = self.deflator.pull()
+        return out or None

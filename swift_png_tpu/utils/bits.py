@@ -133,6 +133,23 @@ class BitWriter:
     def bit_length(self) -> int:
         return 8 * sum(len(c) for c in self._chunks) + self._accbits
 
+    def drain(self) -> bytes:
+        """Remove and return all *completed* bytes, leaving any partial byte
+        (0–7 bits) in the accumulator so the bitstream continues seamlessly.
+
+        This is what lets the container pop output chunks mid-stream (the
+        reference's ``DeflatorOut.pop``/``pull``) without corrupting bit
+        alignment."""
+        nbytes = self._accbits >> 3
+        if nbytes:
+            mask = (1 << (8 * nbytes)) - 1
+            self._chunks.append((self._acc & mask).to_bytes(nbytes, "little"))
+            self._acc >>= 8 * nbytes
+            self._accbits -= 8 * nbytes
+        out = b"".join(self._chunks)
+        self._chunks = []
+        return out
+
     def getvalue(self) -> bytes:
         """Finish (byte-aligning with zeros) and return the bytes."""
         self.pad_to_byte()
