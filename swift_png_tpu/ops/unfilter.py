@@ -1,0 +1,134 @@
+"""Wavefront scanline defilter (TPU kernel tier).
+
+The reference defilters one scanline at a time with a serial intra-row carry
+(``PNG.Decoder.defilter``, ``Sources/PNG/Decoding/PNG.Decoder.swift:152-196``;
+branchless Paeth at ``Sources/PNG/PNG.swift:123-147``).  Byte ``(y, i)`` of
+the defiltered image depends on
+
+* ``a`` = byte ``(y, i-delay)``  (left neighbor, same pixel lane),
+* ``b`` = byte ``(y-1, i)``      (above),
+* ``c`` = byte ``(y-1, i-delay)`` (above-left),
+
+where ``delay`` is the pixel stride in bytes (channel count × byte depth,
+``PNG.Decoder.swift:84``).  Grouping bytes into pixels ``g = i // delay``,
+the dependency graph is the classic 2D wavefront: cell ``(y, g)`` needs
+``(y, g-1)``, ``(y-1, g)`` and ``(y-1, g-1)``.  Anti-diagonals ``d = y + g``
+are therefore mutually independent — instead of ``H×G`` serial steps we run
+``H+G-1`` scan steps, each one a fully vectorized ``(H, delay)`` elementwise
+update (batched over images on the leading axis).  This is the TPU-native
+formulation: static shapes, one `lax.scan`, no gathers inside the loop.
+
+All five filter types run through the same wavefront (``pred`` selected per
+row), so scan structure does not depend on the data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["defilter", "defilter_batch"]
+
+
+def _predict(ftype: jnp.ndarray, a, b, c):
+    """Per-element filter prediction; ``ftype`` broadcasts per row.
+
+    Unknown filter types predict 0 (pass-through), matching the host tier
+    and the reference's behavior for invalid codes.
+    """
+    avg = (a + b) >> 1
+    pa = jnp.abs(b - c)
+    pb = jnp.abs(a - c)
+    pc = jnp.abs(a + b - 2 * c)
+    paeth = jnp.where((pa <= pb) & (pa <= pc), a, jnp.where(pb <= pc, b, c))
+    pred = jnp.where(ftype == 1, a, 0)
+    pred = jnp.where(ftype == 2, b, pred)
+    pred = jnp.where(ftype == 3, avg, pred)
+    pred = jnp.where(ftype == 4, paeth, pred)
+    return pred
+
+
+@functools.partial(jax.jit, static_argnames=("delay",))
+def defilter(filtered: jnp.ndarray, delay: int) -> jnp.ndarray:
+    """Defilter one image's scanlines.
+
+    Args:
+      filtered: ``(H, 1 + pitch)`` uint8 — each row is ``[filter_byte,
+        data…]`` exactly as pulled from the inflator
+        (``PNG.Decoder.swift:88``).  ``pitch`` must be a multiple of
+        ``delay`` (true for every PNG format: sub-byte formats have
+        ``delay == 1``).
+      delay: pixel stride in bytes (1…8).
+
+    Returns:
+      ``(H, pitch)`` uint8 defiltered bytes.
+    """
+    H, pitch1 = filtered.shape
+    pitch = pitch1 - 1
+    if pitch % delay:
+        raise ValueError(f"pitch {pitch} not a multiple of delay {delay}")
+    G = pitch // delay
+    Dn = H + G - 1
+
+    ftype = filtered[:, 0].astype(jnp.int32)[:, None]  # (H, 1)
+    data = filtered[:, 1:].reshape(H, G, delay)
+
+    # skew: S[d, y] = data[y, d - y] (zeros where g out of range)
+    y_idx = jnp.arange(H)
+    d_idx = jnp.arange(Dn)
+    g = d_idx[:, None] - y_idx[None, :]                      # (Dn, H)
+    valid = (g >= 0) & (g < G)
+    S = jnp.take_along_axis(
+        data.transpose(1, 0, 2)[None],                       # (1, G, H, delay)
+        jnp.clip(g, 0, G - 1)[:, None, :, None],             # (Dn, 1, H, 1)
+        axis=1,
+    )[:, 0]                                                  # (Dn, H, delay)
+    S = jnp.where(valid[:, :, None], S, 0)
+
+    zrow = jnp.zeros((1, delay), jnp.uint8)
+
+    def step(carry, xs):
+        col_m1, col_m2 = carry                               # (H, delay) u8
+        x, vmask = xs                                        # (H, delay), (H,)
+        a = col_m1.astype(jnp.int32)
+        b = jnp.concatenate([zrow, col_m1[:-1]]).astype(jnp.int32)
+        c = jnp.concatenate([zrow, col_m2[:-1]]).astype(jnp.int32)
+        out = (x.astype(jnp.int32) + _predict(ftype, a, b, c)) & 0xFF
+        out = jnp.where(vmask[:, None], out, 0).astype(jnp.uint8)
+        return (out, col_m1), out
+
+    _, outs = jax.lax.scan(step, (zrow.repeat(H, 0), zrow.repeat(H, 0)),
+                           (S, valid))
+    # unskew: O[y, g] = outs[y + g, y]
+    d_of = (y_idx[:, None] + jnp.arange(G)[None, :])         # (H, G)
+    O = jnp.take_along_axis(
+        outs.transpose(1, 0, 2),                             # (H, Dn, delay)
+        d_of[:, :, None],
+        axis=1,
+    )
+    return O.reshape(H, pitch)
+
+
+@functools.partial(jax.jit, static_argnames=("delay",))
+def defilter_batch(filtered: jnp.ndarray, delay: int) -> jnp.ndarray:
+    """Defilter a batch of same-shaped images: ``(B, H, 1+pitch) → (B, H,
+    pitch)``.  This is the codec's data-parallel axis (SURVEY.md §2.4.1)."""
+    return jax.vmap(lambda f: defilter(f, delay))(filtered)
+
+
+def defilter_reference(filtered: np.ndarray, delay: int) -> np.ndarray:
+    """Host oracle for tests: row-serial defilter via the host tier."""
+    from ..png.decoder import defilter as host_defilter
+
+    H = filtered.shape[0]
+    out = np.empty((H, filtered.shape[1] - 1), np.uint8)
+    last = np.zeros(filtered.shape[1], np.uint8)
+    for y in range(H):
+        line = filtered[y].copy()
+        host_defilter(line, last, delay)
+        out[y] = line[1:]
+        last = line
+    return out

@@ -1,0 +1,231 @@
+"""Batched, mesh-sharded PNG codec stages.
+
+Decode: host container lexing + inflate (the stream layer is byte-serial;
+see :mod:`swift_png_tpu.ops.inflate` for the device inflate path), then the
+device does defilter + convolve for the whole batch, sharded over images.
+
+Encode: device filter-select (row-parallel, shardable over images *and*
+rows with a one-row ``ppermute`` halo), then host/native deflate per image
+with combinable checksums.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import convolve
+from ..ops.filter import filter_select_batch
+from ..ops.unfilter import defilter_batch
+
+__all__ = ["decode_stage", "encode_stage", "filter_select_sharded",
+           "BatchCodec"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("delay", "depth", "channels", "width", "is_bgr",
+                     "is_indexed", "has_key", "bits"))
+def decode_stage(filtered: jnp.ndarray, *, delay: int, depth: int,
+                 channels: int, width: int, is_bgr: bool = False,
+                 is_indexed: bool = False, has_key: bool = False,
+                 palette: jnp.ndarray | None = None,
+                 key: jnp.ndarray | None = None,
+                 bits: int = 8) -> jnp.ndarray:
+    """Device decode: ``(B, H, 1+pitch)`` filtered scanlines → ``(B, H, W, 4)``
+    RGBA pixels.  XLA fuses the wavefront defilter with the convolve."""
+    rows = defilter_batch(filtered, delay)
+    return jax.vmap(lambda r: convolve.unpack_rgba(
+        r, depth=depth, channels=channels, width=width, is_bgr=is_bgr,
+        is_indexed=is_indexed, has_key=has_key, palette=palette, key=key,
+        bits=bits))(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("delay",))
+def encode_stage(rows: jnp.ndarray, delay: int) -> jnp.ndarray:
+    """Device encode: raw scanlines ``(B, H, pitch)`` → filtered scanlines
+    with filter bytes ``(B, H, 1+pitch)``."""
+    return filter_select_batch(rows, delay)
+
+
+def filter_select_sharded(mesh: Mesh, rows: jnp.ndarray, delay: int,
+                          images_axis: str = "images",
+                          rows_axis: str = "rows") -> jnp.ndarray:
+    """Filter select sharded over a 2D (images, rows) mesh.
+
+    Each row shard needs the raw row directly above its first row (the
+    Up/Average/Paeth reference row) — a one-row halo fetched from the
+    previous shard with ``ppermute`` over the ``rows`` axis.  This is the
+    codec's "sequence parallelism" (SURVEY.md §2.4, §5 long-context).
+    """
+    def shard_fn(local_rows: jnp.ndarray) -> jnp.ndarray:
+        # local_rows: (B_local, H_local, pitch)
+        idx = jax.lax.axis_index(rows_axis)
+        n = jax.lax.axis_size(rows_axis)
+        # fetch previous shard's last raw row (halo); shard 0 receives junk
+        # from the wraparound and masks it to zero.
+        last_row = local_rows[:, -1, :]
+        halo = jax.lax.ppermute(
+            last_row, rows_axis, [(i, (i + 1) % n) for i in range(n)])
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+        # prepend halo, filter, drop the halo row's output
+        padded = jnp.concatenate([halo[:, None, :], local_rows], axis=1)
+        filtered = filter_select_batch(padded, delay)
+        return filtered[:, 1:, :]
+
+    spec = P(images_axis, rows_axis, None)
+    return jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(rows)
+
+
+class BatchCodec:
+    """Batch decode/encode over a device mesh, sharded by image.
+
+    The images in one batch must share (size, format); that is the natural
+    unit for static-shape XLA compilation.  Mixed corpora are bucketed by
+    the caller (see :mod:`swift_png_tpu.parallel.corpus`).
+    """
+
+    def __init__(self, mesh: Mesh | None = None, images_axis: str = "images"):
+        self.mesh = mesh
+        self.images_axis = images_axis
+
+    def _shard(self, arr: jnp.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        sharding = NamedSharding(
+            self.mesh, P(self.images_axis, *([None] * (arr.ndim - 1))))
+        return jax.device_put(arr, sharding)
+
+    # -- decode -----------------------------------------------------------
+
+    def decode_filtered(self, images_png: list[bytes]) -> tuple[np.ndarray, dict]:
+        """Host stage: lex + inflate each PNG into its filtered scanlines.
+
+        Returns ``(B, H, 1+pitch)`` uint8 plus the shared format info dict.
+        All images must agree on (size, pixel format).
+        """
+        from ..png import parsing
+        from ..png.chunk import ByteSource
+        from ..png import chunk as chunks
+        from ..png.format import COMMON, IOS
+        from ..lz77 import Inflator
+
+        batch = []
+        info = None
+        for data in images_png:
+            stream = ByteSource(data)
+            stream.signature()
+            type_, payload = stream.chunk()
+            standard = COMMON
+            if type_ == chunks.CgBI:
+                standard = IOS
+                type_, payload = stream.chunk()
+            header = parsing.Header.parse(payload, standard)
+            if header.interlaced:
+                raise ValueError("batch decode path is for non-interlaced "
+                                 "images; use Image.decompress for Adam7")
+            palette = None
+            transparency = None
+            idat = bytearray()
+            while True:
+                type_, payload = stream.chunk()
+                if type_ == chunks.PLTE:
+                    palette = parsing.Palette.parse(payload, header.pixel)
+                elif type_ == chunks.tRNS:
+                    transparency = parsing.Transparency.parse(
+                        payload, header.pixel, palette)
+                elif type_ == chunks.IDAT:
+                    idat += payload
+                elif type_ == chunks.IEND:
+                    break
+            inflator = Inflator("ios" if standard == IOS else "zlib")
+            inflator.push(bytes(idat))
+            W, H = header.size
+            volume = header.pixel.volume
+            pitch = (W * volume + 7) >> 3
+            raw = inflator.pull(H * (pitch + 1))
+            if raw is None:
+                raise ValueError("truncated image data")
+            batch.append(np.frombuffer(raw, np.uint8).reshape(H, pitch + 1))
+            this = dict(size=(W, H), pixel=header.pixel, palette=palette,
+                        transparency=transparency, standard=standard)
+            if info is None:
+                info = this
+            elif (info["size"], info["pixel"].name) != (this["size"],
+                                                        this["pixel"].name):
+                raise ValueError("batch images must share size and format")
+        return np.stack(batch), info
+
+    def decode(self, images_png: list[bytes], bits: int = 8) -> np.ndarray:
+        """Full batch decode to ``(B, H, W, 4)`` RGBA pixels."""
+        filtered, info = self.decode_filtered(images_png)
+        W, H = info["size"]
+        pixel = info["pixel"]
+        delay = (pixel.volume + 7) >> 3
+        palette = info["palette"]
+        transparency = info["transparency"]
+        pal_arr = key_arr = None
+        is_indexed = pixel.is_indexed
+        if is_indexed:
+            alphas = list(transparency.value) if transparency else []
+            pal = np.array(
+                [(r, g, b, alphas[i] if i < len(alphas) else 255)
+                 for i, (r, g, b) in enumerate(palette.entries)], np.int32)
+            pal_arr = jnp.asarray(pal)
+        elif transparency is not None:
+            # chroma key in raw sample units (PNG.RGBA.swift:259-366)
+            if transparency.case == "v":
+                key_arr = jnp.asarray(
+                    np.array([transparency.value], np.int32))
+            else:
+                key_arr = jnp.asarray(np.array(transparency.value, np.int32))
+        out = decode_stage(
+            self._shard(jnp.asarray(filtered)),
+            delay=delay, depth=pixel.depth, channels=pixel.channels,
+            width=W, is_indexed=is_indexed, palette=pal_arr,
+            has_key=key_arr is not None, key=key_arr, bits=bits)
+        return np.asarray(out)
+
+    # -- encode -----------------------------------------------------------
+
+    def encode(self, pixels: np.ndarray, level: int = 9,
+               bits: int = 8) -> list[bytes]:
+        """Batch encode ``(B, H, W, 4)`` RGBA pixels → PNG byte strings.
+
+        Device filter-select for the whole batch, then per-image host
+        deflate + container assembly.
+        """
+        from ..png.chunk import ByteDestination
+        from ..png import chunk as chunks
+        from ..png import parsing
+        from ..png.format import Format, Layout
+        from ..lz77 import Deflator
+
+        B, H, W, _ = pixels.shape
+        kind = "rgba8" if bits == 8 else "rgba16"
+        fmt = Format(kind)
+        layout = Layout(fmt, False)
+        depth = fmt.pixel.depth
+        delay = (fmt.pixel.volume + 7) >> 3
+        samples = jnp.asarray(pixels.reshape(B, H, W, 4).astype(np.int32))
+        rows = jax.vmap(lambda s: convolve.pack_rows(s, depth, 4, W))(samples)
+        filtered = encode_stage(self._shard(rows), delay)
+        filtered_np = np.asarray(filtered)
+
+        outs = []
+        header = parsing.Header((W, H), fmt.pixel, False)
+        for b in range(B):
+            deflator = Deflator("zlib", level=level)
+            deflator.push(filtered_np[b].tobytes(), last=True)
+            dest = ByteDestination()
+            dest.signature()
+            dest.format(chunks.IHDR, header.serialized)
+            dest.format(chunks.IDAT, deflator.pull())
+            dest.format(chunks.IEND)
+            outs.append(dest.getvalue())
+        return outs

@@ -7,12 +7,19 @@ path; benches run on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment may pin JAX_PLATFORMS to the real accelerator (e.g. the
+# axon TPU tunnel); tests must run on CPU regardless, so override both the
+# env var and the jax config (the plugin ignores the env var alone).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE = "/root/reference"
 
