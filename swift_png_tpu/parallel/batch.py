@@ -103,8 +103,13 @@ class BatchCodec:
 
     # -- decode -----------------------------------------------------------
 
-    def decode_filtered(self, images_png: list[bytes]) -> tuple[np.ndarray, dict]:
-        """Host stage: lex + inflate each PNG into its filtered scanlines.
+    def decode_filtered(self, images_png: list[bytes],
+                        device_inflate: bool = True) -> tuple[np.ndarray, dict]:
+        """Inflate each PNG into its filtered scanlines.
+
+        Container lexing is host work; the DEFLATE streams are inflated by
+        the parallel device path (:mod:`swift_png_tpu.ops.inflate`) unless
+        ``device_inflate=False`` selects the host engine.
 
         Returns ``(B, H, 1+pitch)`` uint8 plus the shared format info dict.
         All images must agree on (size, pixel format).
@@ -143,15 +148,22 @@ class BatchCodec:
                     idat += payload
                 elif type_ == chunks.IEND:
                     break
-            inflator = Inflator("ios" if standard == IOS else "zlib")
-            inflator.push(bytes(idat))
             W, H = header.size
             volume = header.pixel.volume
             pitch = (W * volume + 7) >> 3
-            raw = inflator.pull(H * (pitch + 1))
-            if raw is None:
-                raise ValueError("truncated image data")
-            batch.append(np.frombuffer(raw, np.uint8).reshape(H, pitch + 1))
+            fmt = "ios" if standard == IOS else "zlib"
+            if device_inflate:
+                from ..ops.inflate import inflate as dev_inflate
+
+                raw = dev_inflate(bytes(idat), H * (pitch + 1), fmt)
+                batch.append(raw.reshape(H, pitch + 1))
+            else:
+                inflator = Inflator(fmt)
+                inflator.push(bytes(idat))
+                raw = inflator.pull(H * (pitch + 1))
+                if raw is None:
+                    raise ValueError("truncated image data")
+                batch.append(np.frombuffer(raw, np.uint8).reshape(H, pitch + 1))
             this = dict(size=(W, H), pixel=header.pixel, palette=palette,
                         transparency=transparency, standard=standard)
             if info is None:
@@ -161,9 +173,10 @@ class BatchCodec:
                 raise ValueError("batch images must share size and format")
         return np.stack(batch), info
 
-    def decode(self, images_png: list[bytes], bits: int = 8) -> np.ndarray:
+    def decode(self, images_png: list[bytes], bits: int = 8,
+               device_inflate: bool = True) -> np.ndarray:
         """Full batch decode to ``(B, H, W, 4)`` RGBA pixels."""
-        filtered, info = self.decode_filtered(images_png)
+        filtered, info = self.decode_filtered(images_png, device_inflate)
         W, H = info["size"]
         pixel = info["pixel"]
         delay = (pixel.volume + 7) >> 3
