@@ -1,0 +1,627 @@
+"""Single-call fused device inflate: one jitted program per stream batch.
+
+The per-block device inflate in :mod:`swift_png_tpu.ops.inflate` needs a
+host round-trip per DEFLATE block (header parse + LUT upload).  On real
+deployments the host link is fast; regardless, the TPU-native design wants
+the whole stream decoded on device.  This module runs the *entire* block
+loop inside one ``lax.while_loop``:
+
+* block headers and dynamic Huffman descriptions are parsed on device —
+  the code-length Huffman decode is a bounded ``lax.scan`` (≤ 320 symbols,
+  the same split as the reference's ``readBlockTables``,
+  ``LZ77.InflatorBuffers.Stream.swift:144-263``);
+* token decode uses *canonical compare* decoding instead of flat LUTs: for
+  a 15-bit window, the MSB-first prefix of each length ``l`` is compared
+  against the canonical ``limit[l]`` — 15 vector compares and one gather
+  into a length-sorted symbol table, so no 32 K-entry table is ever built
+  (this replaces ``LZ77.InflatorTables``, ``LZ77.InflatorTables.swift:
+  16-62``, with pure arithmetic);
+* every block's tokens (literal / match / stored-run) are appended to one
+  global token buffer; a single scatter + segmented-max fill assigns each
+  output byte its producing token, and pointer doubling resolves the LZ77
+  back-reference chains.
+
+Stored blocks are a single token (kind ``STORED``) whose payload is the
+byte offset into the compressed stream.  The whole pipeline — including the
+Adler-32 — returns with only scalars needing download.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lz77 import constants as C
+
+__all__ = ["inflate_fused", "InflateFused"]
+
+# token kinds in the global buffer
+K_LIT, K_MATCH, K_STORED = 0, 1, 2
+# status flags
+OK = 0
+F_BAD_BLOCK = 1        # reserved block type / malformed header
+F_BAD_CODE = 2         # invalid Huffman code on the token path
+F_OVERFLOW = 4         # block exceeded the window or rank budget
+F_TOO_MANY_BLOCKS = 8
+F_OUTPUT_MISMATCH = 16
+F_BAD_PARITY = 32
+F_BAD_DISTANCE = 64
+
+_RUN_EXTRA = jnp.asarray(C.RUN_EXTRA)
+_RUN_BASE = jnp.asarray(C.RUN_BASE)
+_DIST_EXTRA = jnp.asarray(C.DISTANCE_EXTRA)
+_DIST_BASE = jnp.asarray(C.DISTANCE_BASE)
+_CLO = jnp.asarray(np.array(C.CODELENGTH_ORDER, np.int32))
+
+_MAX_SYMS = 288  # literal alphabet size; dist tree reuses the same layout
+
+
+def _rev16(x):
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    return ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+
+
+def _canonical_params(lengths):
+    """Canonical decode parameters from code lengths.
+
+    Args:
+      lengths: ``(_MAX_SYMS,)`` int32 code lengths (0 = unused).
+
+    Returns:
+      ``(lim, first, offset, symbols)`` — per-length decode bounds
+      (``lim[l] = first[l] + count[l]`` over MSB-first codes) and the
+      length-sorted symbol table, all shaped for 1-based lengths 1…15.
+    """
+    n = lengths.shape[0]
+    counts = jnp.zeros(16, jnp.int32).at[jnp.clip(lengths, 0, 15)].add(
+        jnp.where(lengths > 0, 1, 0))
+    counts = counts.at[0].set(0)
+
+    def body(carry, cnt):
+        first = carry
+        return (first + cnt) << 1, first
+
+    _, first = jax.lax.scan(body, jnp.int32(0), counts[1:])
+    first = jnp.concatenate([jnp.zeros(1, jnp.int32), first])  # first[l], l=0..15
+    lim = first + counts
+    offset = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    # symbols sorted by (length, symbol); unused symbols sort last
+    key = jnp.where(lengths > 0, lengths, 99) * 1024 + jnp.arange(n)
+    symbols = jnp.argsort(key).astype(jnp.int32)
+    return lim, first, offset, symbols
+
+
+def _canonical_decode(rev_code15, lim, first, offset, symbols):
+    """Decode one MSB-first 15-bit reversed window per element.
+
+    Returns ``(length, symbol)``; length 0 ⇒ invalid code.
+    """
+    def body(l, state):
+        length, symidx, found = state
+        code_l = rev_code15 >> (15 - l)
+        hit = (~found) & (code_l < lim[l]) & (code_l >= first[l])
+        length = jnp.where(hit, l, length)
+        symidx = jnp.where(hit, offset[l] + code_l - first[l], symidx)
+        return length, symidx, found | hit
+
+    length, symidx, found = jax.lax.fori_loop(
+        1, 16, body,
+        (jnp.zeros_like(rev_code15), jnp.zeros_like(rev_code15),
+         jnp.zeros_like(rev_code15, dtype=bool)))
+    sym = symbols[jnp.clip(symidx, 0, symbols.shape[0] - 1)]
+    return jnp.where(found, length, 0), jnp.where(found, sym, 0)
+
+
+def _fixed_params():
+    lit = np.zeros(_MAX_SYMS, np.int32)
+    lit[:144] = 8
+    lit[144:256] = 9
+    lit[256:280] = 7
+    lit[280:288] = 8
+    dist = np.zeros(_MAX_SYMS, np.int32)
+    dist[:32] = 5
+    return (jnp.asarray(lit), jnp.asarray(dist))
+
+
+_FIXED_LIT_LENGTHS, _FIXED_DIST_LENGTHS = _fixed_params()
+
+
+def _peek(W, pos):
+    """≥25-bit little-endian window at bit ``pos`` (scalar or array)."""
+    w = W[jnp.clip(pos >> 3, 0, W.shape[0] - 1)]
+    return w >> (pos & 7).astype(jnp.uint32)
+
+
+def _parse_dynamic(W32, bitpos):
+    """Parse a dynamic block's Huffman description on device.
+
+    Returns ``(pos_after_tables, lit_lengths (288,), dist_lengths (32,),
+    bad)`` — the code-length Huffman decode itself is a bounded scan
+    (``readBlockTables`` analog, ``…InflatorBuffers.Stream.swift:144-263``).
+    """
+    w = _peek(W32, bitpos).astype(jnp.int32)
+    hlit = (w & 31) + 257
+    hdist = ((w >> 5) & 31) + 1
+    hclen = ((w >> 10) & 15) + 4
+    pos = bitpos + 14
+    i = jnp.arange(19)
+    mvals = (_peek(W32, pos + 3 * i) & 7).astype(jnp.int32)
+    mvals = jnp.where(i < hclen, mvals, 0)
+    meta_lengths = jnp.zeros(19, jnp.int32).at[_CLO].set(mvals)
+    pos = pos + 3 * hclen
+    mparams = _canonical_params(meta_lengths)
+    total = hlit + hdist
+
+    # position-parallel decode of the code-length stream over a small
+    # window (tables occupy ≤ 14 + 57 + 320·14 < 2^13 bits), with the same
+    # pointer-jump path extraction as the token stage — no sequential scan
+    TWIN_WORDS = 1 << 10
+    start_byte = pos >> 3
+    Wwin = jax.lax.dynamic_slice(W32, (start_byte,), (TWIN_WORDS,))
+    TWIN = TWIN_WORDS * 8 - 56
+    p = jnp.arange(TWIN, dtype=jnp.int32)
+    w = _peek(Wwin, p).astype(jnp.int32)
+    rev15 = (_rev16(w & 0x7F) >> 9) << 8
+    l, sym = _canonical_decode(rev15, *mparams)
+    is16 = sym == 16
+    is17 = sym == 17
+    is18 = sym == 18
+    extra = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
+    ebits = (w >> l) & ((1 << extra) - 1)
+    count = jnp.where(sym < 16, 1,
+                      jnp.where(is16 | is17, 3 + ebits, 11 + ebits))
+    invalid = (l == 0) | (sym > 18)
+    nxt = jnp.where(invalid, p, p + l + extra).astype(jnp.int32)
+
+    M = 320  # ≤ 320 transmitted symbols
+    ranks = jnp.arange(M, dtype=jnp.int32)
+
+    def jbody(k, state):
+        P, jump = state
+        take = (ranks >> k) & 1
+        P = jnp.where(take == 1, jump[P], P)
+        return P, jump[jump]
+
+    P, _ = jax.lax.fori_loop(
+        0, 9, jbody,
+        (jnp.full((M,), (pos & 7).astype(jnp.int32), jnp.int32), nxt))
+
+    symP = sym[P]
+    countP = count[P]
+    starts = jnp.cumsum(countP) - countP  # code-length index of each token
+    live = starts < total
+    m_count = jnp.sum(live.astype(jnp.int32))  # tokens actually consumed
+    bad = jnp.any(live & invalid[P])
+    # exact fit: the last live token must land exactly on `total`
+    end_idx = jnp.max(jnp.where(live, starts + countP, 0))
+    bad = bad | (end_idx != total)
+    # value per token: explicit length, 0 for 17/18, previous token's
+    # written length for 16 (which is 0 after a 17/18 run — zlib semantics)
+    v0 = jnp.where(symP < 16, symP, 0)
+    explicit = jnp.where(is16[P], -1, v0)
+
+    def fill_op(a, b):
+        return jnp.where(b >= 0, b, a)
+
+    filled = jax.lax.associative_scan(fill_op, explicit)
+    prev_filled = jnp.concatenate([jnp.full(1, -1, jnp.int32), filled[:-1]])
+    vals = jnp.where(is16[P], prev_filled, v0)
+    bad = bad | jnp.any(live & is16[P] & (prev_filled < 0))
+
+    # scatter values at their start indices, fill runs forward
+    order = jnp.arange(320, dtype=jnp.int32)
+    tid0 = jnp.full(321, -1, jnp.int32).at[
+        jnp.clip(jnp.where(live, starts, 320), 0, 320)].max(
+        jnp.where(live, ranks, -1))
+    tid = jax.lax.associative_scan(jnp.maximum, tid0[:320])
+    lens = vals[jnp.clip(tid, 0, M - 1)]
+    lens = jnp.where((order < total) & (tid >= 0), lens, 0)
+    a288 = jnp.arange(288)
+    lit_lengths = jnp.where(a288 < hlit, lens[jnp.clip(a288, 0, 319)], 0)
+    a32 = jnp.arange(32)
+    dist_lengths = jnp.where(
+        a32 < hdist, lens[jnp.clip(hlit + a32, 0, 319)], 0)
+    # bit position after the last live token
+    last_rank = jnp.clip(m_count - 1, 0, M - 1)
+    end_pos = start_byte * 8 + P[last_rank] + (
+        l[P[last_rank]] + extra[P[last_rank]])
+    end_pos = jnp.where(m_count > 0, end_pos, pos)
+    return end_pos, lit_lengths, dist_lengths, bad
+
+
+def _decode_window(Wwin, p0, lit_params, dist_params, t_max):
+    """Position-parallel token decode + path extraction over one window.
+
+    Returns ``(T, end_rel, flag, chunk_kind, chunk_len, chunk_a)`` where the
+    chunk arrays are the first ``T`` path tokens (EOB excluded, tail
+    zeroed) and ``end_rel`` is the bit position after the EOB token,
+    relative to the window base.
+    """
+    WIN = Wwin.shape[0] * 8 - 56
+    p = jnp.arange(WIN, dtype=jnp.int32)
+    w1 = _peek(Wwin, p)
+    rev15 = _rev16((w1 & 0x7FFF).astype(jnp.int32)) >> 1
+    l, sym = _canonical_decode(rev15, *lit_params)
+    decade = jnp.clip(sym - 257, 0, 28)
+    eb = _RUN_EXTRA[decade]
+    run = _RUN_BASE[decade] + (
+        (w1 >> l.astype(jnp.uint32)).astype(jnp.int32) & ((1 << eb) - 1))
+    p2 = p + l + eb
+    w2 = _peek(Wwin, p2)
+    rev15d = _rev16((w2 & 0x7FFF).astype(jnp.int32)) >> 1
+    dl, dsym_raw = _canonical_decode(rev15d, *dist_params)
+    dsym = jnp.clip(dsym_raw, 0, 29)
+    db = _DIST_EXTRA[dsym]
+    p3 = p2 + dl
+    w3 = _peek(Wwin, p3)
+    dist = _DIST_BASE[dsym] + (w3.astype(jnp.int32) & ((1 << db) - 1))
+
+    is_lit = (l > 0) & (sym < 256)
+    is_eob = (l > 0) & (sym == 256)
+    is_match = ((l > 0) & (sym >= 257) & (sym <= 285)
+                & (dl > 0) & (dsym_raw <= 29))
+    step = jnp.where(is_lit | is_eob, l, l + eb + dl + db)
+    nxt = p + step
+    overflow = (nxt >= WIN) & ~is_eob
+    # 0 lit / 1 match / 2 eob / 3 bad / 4 window-overflow
+    kind = jnp.where(is_lit, 0, jnp.where(is_match, 1,
+                     jnp.where(is_eob, 2, 3)))
+    kind = jnp.where(overflow & (kind != 2), 4, kind)
+    nxt = jnp.where(kind >= 2, p, nxt).astype(jnp.int32)
+
+    ranks = jnp.arange(t_max, dtype=jnp.int32)
+
+    def jbody(k, state):
+        P, jump = state
+        take = (ranks >> k) & 1
+        P = jnp.where(take == 1, jump[P], P)
+        return P, jump[jump]
+
+    K = max(1, (t_max - 1).bit_length())
+    P, _ = jax.lax.fori_loop(
+        0, K, jbody, (jnp.full((t_max,), p0, jnp.int32), nxt))
+
+    kP = kind[P]
+    eob_hit = kP == 2
+    has_eob = jnp.any(eob_hit)
+    T = jnp.argmax(eob_hit).astype(jnp.int32)  # first EOB rank
+    before = ranks < T
+    badpath = jnp.any(before & (kP == 3)) | ~has_eob & jnp.any(kP == 3)
+    ovfpath = (~has_eob) | jnp.any(before & (kP == 4))
+    flag = jnp.where(badpath, F_BAD_CODE,
+                     jnp.where(ovfpath, F_OVERFLOW, 0)).astype(jnp.int32)
+    end_rel = P[T] + step[P[T]]
+
+    litP = sym[P]
+    chunk_kind = jnp.where(before, jnp.where(kP == 0, K_LIT, K_MATCH), 0)
+    chunk_len = jnp.where(before, jnp.where(kP == 0, 1, run[P]), 0)
+    chunk_a = jnp.where(before, jnp.where(kP == 0, litP, dist[P]), 0)
+    return (T, end_rel.astype(jnp.int32), flag,
+            chunk_kind.astype(jnp.int32), chunk_len.astype(jnp.int32),
+            chunk_a.astype(jnp.int32))
+
+
+def _mod_sum(x, m=65521):
+    """Exact sum mod m of large int32 arrays without overflow."""
+    x = x.reshape(-1, 64)
+    s = jnp.sum(x, axis=1) % m            # each chunk sum < 64·max(x)
+    s = s.reshape(-1, 512)
+    s = jnp.sum(s, axis=1) % m
+    return jnp.sum(s) % m
+
+
+def _adler_device(out, out_size):
+    """Adler-32 of the output bytes, on device (``LZ77.MRC32`` analog)."""
+    n = out.shape[0]
+    d = out.astype(jnp.int32)
+    i = jnp.arange(n, dtype=jnp.int32)
+    w = jnp.where(i < out_size, (out_size - i) % 65521, 0)
+    s1 = (1 + _mod_sum(jnp.where(i < out_size, d, 0))) % 65521
+    s2 = (out_size % 65521 + _mod_sum((w * d) % 65521)) % 65521
+    return (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "win_words", "t_max", "max_blocks",
+                     "tok_cap"))
+def inflate_fused(D: jnp.ndarray, *, out_size: int, win_words: int,
+                  t_max: int, max_blocks: int, tok_cap: int):
+    """Decode a complete raw-DEFLATE stream in one device program.
+
+    Args:
+      D: ``(nbytes_pad,)`` uint8 — compressed bytes zero-padded by at least
+        ``win_words + 8`` so window slices never clamp.
+      out_size: exact decompressed size.
+      win_words: per-block decode window in bytes (static bucket).
+      t_max: per-block token rank budget (static bucket).
+      max_blocks: block-loop bound.
+      tok_cap: global token budget (≥ out_size is always safe).
+
+    Returns:
+      ``(out (padded to 64), status, end_bit, adler)``; status 0 = success.
+    """
+    n = D.shape[0]
+    d32 = D.astype(jnp.uint32)
+    W32 = d32[:-3] | d32[1:-2] << 8 | d32[2:-1] << 16 | d32[3:] << 24
+    fixed_lit = _canonical_params(_FIXED_LIT_LENGTHS)
+    fixed_dist = _canonical_params(_FIXED_DIST_LENGTHS)
+
+    TOKP = tok_cap + t_max + 1
+    zc = jnp.zeros((t_max,), jnp.int32)
+
+    def cond(s):
+        bitpos, tok, blk, done, status, tk, tl, ta = s
+        return (~done) & (status == 0)
+
+    def body(s):
+        bitpos, tok, blk, done, status, tk, tl, ta = s
+        hdr = (_peek(W32, bitpos) & 7).astype(jnp.int32)
+        final = (hdr & 1) == 1
+        btype = hdr >> 1
+
+        # table stage (device): lengths + position after tables
+        def t_stored():
+            return (jnp.zeros(288, jnp.int32), jnp.zeros(32, jnp.int32),
+                    bitpos + 3, jnp.int32(0))
+
+        def t_fixed():
+            return (_FIXED_LIT_LENGTHS, _FIXED_DIST_LENGTHS[:32],
+                    bitpos + 3, jnp.int32(0))
+
+        def t_dyn():
+            pos, litL, distL, bad = _parse_dynamic(W32, bitpos + 3)
+            return (litL, distL, pos,
+                    jnp.where(bad, F_BAD_CODE, 0).astype(jnp.int32))
+
+        def t_bad():
+            return (jnp.zeros(288, jnp.int32), jnp.zeros(32, jnp.int32),
+                    bitpos + 3, jnp.int32(F_BAD_BLOCK))
+
+        litL, distL, pos_tables, flag = jax.lax.switch(
+            jnp.clip(btype, 0, 3), [t_stored, t_fixed, t_dyn, t_bad])
+
+        # huffman block decode (skipped for stored/bad)
+        def huff(_):
+            lp = _canonical_params(litL)
+            dp = _canonical_params(distL)
+            start_byte = pos_tables >> 3
+            Wwin = jax.lax.dynamic_slice(W32, (start_byte,), (win_words,))
+            T, end_rel, hflag, ck, cl, ca = _decode_window(
+                Wwin, (pos_tables & 7).astype(jnp.int32), lp, dp, t_max)
+            return (T, start_byte * 8 + end_rel, hflag, ck, cl, ca)
+
+        def no_huff(_):
+            return (jnp.int32(0), jnp.int32(0), jnp.int32(0), zc, zc, zc)
+
+        T_h, end_h, flag_h, ck, cl, ca = jax.lax.cond(
+            (btype == 1) | (btype == 2), huff, no_huff, None)
+
+        # stored block (scalar work)
+        aligned = (bitpos + 3 + 7) & ~7
+        base_byte = aligned >> 3
+        wlen = W32[jnp.clip(base_byte, 0, W32.shape[0] - 1)]
+        slen = (wlen & 0xFFFF).astype(jnp.int32)
+        snlen = ((wlen >> 16) & 0xFFFF).astype(jnp.int32)
+        parity_bad = (slen ^ 0xFFFF) != snlen
+        is_stored = btype == 0
+
+        T = jnp.where(is_stored, 1, T_h)
+        end_bit = jnp.where(is_stored, 8 * (base_byte + 4 + slen), end_h)
+        flag = flag | flag_h | jnp.where(is_stored & parity_bad,
+                                         F_BAD_PARITY, 0)
+        ck = jnp.where(is_stored, zc.at[0].set(K_STORED), ck)
+        cl = jnp.where(is_stored, zc.at[0].set(slen), cl)
+        ca = jnp.where(is_stored, zc.at[0].set(base_byte + 4), ca)
+
+        flag = flag | jnp.where(tok + T > tok_cap, F_OVERFLOW, 0)
+        tok_w = jnp.minimum(tok, tok_cap)
+        tk = jax.lax.dynamic_update_slice(tk, ck, (tok_w,))
+        tl = jax.lax.dynamic_update_slice(tl, cl, (tok_w,))
+        ta = jax.lax.dynamic_update_slice(ta, ca, (tok_w,))
+
+        blk = blk + 1
+        flag = flag | jnp.where((blk >= max_blocks) & ~final,
+                                F_TOO_MANY_BLOCKS, 0)
+        return (end_bit, tok + T, blk, final, status | flag, tk, tl, ta)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+            jnp.int32(0), jnp.zeros(TOKP, jnp.int32),
+            jnp.zeros(TOKP, jnp.int32), jnp.zeros(TOKP, jnp.int32))
+    bitpos, tok, blk, done, status, tk, tl, ta = jax.lax.while_loop(
+        cond, body, init)
+
+    # ---- global assembly ------------------------------------------------
+    ranks = jnp.arange(TOKP, dtype=jnp.int32)
+    valid = ranks < tok
+    outlen = jnp.where(valid, tl, 0)
+    starts = jnp.cumsum(outlen) - outlen
+    total = jnp.sum(outlen)
+    status = status | jnp.where(total != out_size, F_OUTPUT_MISMATCH, 0)
+
+    O = out_size
+    tid0 = jnp.full(O + 1, -1, jnp.int32).at[
+        jnp.clip(starts, 0, O)].max(jnp.where(valid & (outlen > 0),
+                                              ranks, -1))
+    tid = jax.lax.associative_scan(jnp.maximum, tid0[:O])
+    safe = jnp.clip(tid, 0, TOKP - 1)
+    kj = tk[safe]
+    aj = ta[safe]
+    sj = starts[safe]
+    j = jnp.arange(O, dtype=jnp.int32)
+    ptr = jnp.where(kj == K_MATCH, j - aj, j)
+    status = status | jnp.where(
+        jnp.any((ptr < 0) | (tid < 0)), F_BAD_DISTANCE, 0)
+    ptr = jnp.clip(ptr, 0, O - 1)
+    litv = jnp.where(kj == K_LIT, aj, 0)
+    litv = jnp.where(kj == K_STORED,
+                     D[jnp.clip(aj + (j - sj), 0, n - 1)].astype(jnp.int32),
+                     litv).astype(jnp.uint8)
+
+    def e_cond(st):
+        _, changed = st
+        return changed
+
+    def e_body(st):
+        ptr, _ = st
+        nxt = ptr[ptr]
+        return nxt, jnp.any(nxt != ptr)
+
+    ptr, _ = jax.lax.while_loop(e_cond, e_body, (ptr, jnp.bool_(True)))
+    out = litv[ptr]
+
+    pad = (-O) % 32768
+    outp = jnp.concatenate([out, jnp.zeros(pad, jnp.uint8)])
+    adler = _adler_device(outp, O)
+    return outp, status, bitpos, adler
+
+
+class InflateFused:
+    """Host wrapper: bucket management, retries, and error mapping.
+
+    Compiles one program per (stream-size bucket, window, rank-budget,
+    output-size) signature; reuses it for every stream that fits.
+    """
+
+    def __init__(self, win_bytes: int = 1 << 17, t_max: int = 1 << 15,
+                 max_blocks: int = 1 << 14):
+        self.win_bytes = win_bytes
+        self.t_max = t_max
+        self.max_blocks = max_blocks
+
+    def _prepare(self, body: bytes, win_bytes: int) -> jnp.ndarray:
+        n = len(body)
+        bucket = 1 << max(12, (n + win_bytes + 8 - 1).bit_length())
+        D = np.zeros(bucket, np.uint8)
+        D[:n] = np.frombuffer(body, np.uint8)
+        return jnp.asarray(D)
+
+    def run(self, body: bytes, out_size: int):
+        """Raw DEFLATE body → (device output array, adler) or raises."""
+        from ..lz77.errors import DecompressionError
+
+        win = self.win_bytes
+        t_max = self.t_max
+        while True:
+            D = self._prepare(body, win)
+            out, status, end_bit, adler = inflate_fused(
+                D, out_size=out_size, win_words=win, t_max=t_max,
+                max_blocks=self.max_blocks, tok_cap=out_size + 1)
+            status = int(status)
+            if status == OK:
+                return out, int(adler)
+            if status & F_OVERFLOW and (win < (1 << 22) or
+                                        t_max < (1 << 20)):
+                win = min(win * 4, 1 << 22)
+                t_max = min(t_max * 4, 1 << 20)
+                continue
+            if status & F_BAD_BLOCK:
+                raise DecompressionError.invalid_block_type_code(3)
+            if status & F_BAD_PARITY:
+                raise DecompressionError.invalid_block_element_count_parity(
+                    0, 0)
+            if status & F_BAD_DISTANCE:
+                raise DecompressionError.invalid_string_reference()
+            if status & (F_BAD_CODE | F_OUTPUT_MISMATCH | F_TOO_MANY_BLOCKS
+                         | F_OVERFLOW):
+                raise DecompressionError.invalid_huffman_table()
+            raise DecompressionError.invalid_huffman_table()
+
+    def inflate(self, data: bytes, out_size: int, format: str = "zlib",
+                keep_on_device: bool = False):
+        """Complete zlib/ios stream → decompressed bytes.
+
+        Returns a host array, or a device array with ``keep_on_device``
+        (only scalars cross the host boundary in that mode)."""
+        from ..lz77.errors import DecompressionError, StreamHeaderError
+
+        if format == "zlib":
+            cmf, flg = data[0], data[1]
+            if cmf & 0x0F != 0x08:
+                raise StreamHeaderError.invalid_compression_method(cmf & 0x0F)
+            if (cmf * 256 + flg) % 31 != 0:
+                raise StreamHeaderError.invalid_check_bits()
+            if flg & 0x20:
+                raise StreamHeaderError.unexpected_dictionary()
+            out, adler = self.run(data[2:], out_size)
+            declared = int.from_bytes(data[-4:], "big")
+            if adler != declared:
+                raise DecompressionError.invalid_stream_checksum(
+                    declared, adler)
+        elif format == "ios":
+            out, _ = self.run(data, out_size)
+        else:
+            raise ValueError(f"unknown format {format!r}")
+        out = out[:out_size]
+        return out if keep_on_device else np.asarray(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "win_words", "t_max", "max_blocks",
+                     "tok_cap"))
+def inflate_fused_batch(Ds: jnp.ndarray, *, out_size: int, win_words: int,
+                        t_max: int, max_blocks: int, tok_cap: int):
+    """Batched fused inflate: ``(B, nbytes_pad)`` streams decoded in
+    lockstep.  The per-block loop runs to the longest stream's block count;
+    batching turns the many small gather ops into large ones, which is
+    where the TPU's gather throughput lives (fixed per-op overhead is
+    ~10 µs; throughput at 8 M elements is ~300 G gathers/s)."""
+    return jax.vmap(lambda D: inflate_fused(
+        D, out_size=out_size, win_words=win_words, t_max=t_max,
+        max_blocks=max_blocks, tok_cap=tok_cap))(Ds)
+
+
+class InflateFusedBatch(InflateFused):
+    """Batch wrapper: same bucket management over a stacked stream batch."""
+
+    def run_batch(self, bodies: list[bytes], out_size: int):
+        from ..lz77.errors import DecompressionError
+
+        win = self.win_bytes
+        t_max = self.t_max
+        nmax = max(len(b) for b in bodies)
+        while True:
+            bucket = 1 << max(12, (nmax + win + 8 - 1).bit_length())
+            Ds = np.zeros((len(bodies), bucket), np.uint8)
+            for i, b in enumerate(bodies):
+                Ds[i, :len(b)] = np.frombuffer(b, np.uint8)
+            out, status, end_bit, adler = inflate_fused_batch(
+                jnp.asarray(Ds), out_size=out_size, win_words=win,
+                t_max=t_max, max_blocks=self.max_blocks,
+                tok_cap=out_size + 1)
+            st = np.asarray(status)
+            if (st == OK).all():
+                return out, np.asarray(adler)
+            if (st & F_OVERFLOW).any() and (win < (1 << 22)
+                                            or t_max < (1 << 20)):
+                win = min(win * 4, 1 << 22)
+                t_max = min(t_max * 4, 1 << 20)
+                continue
+            raise DecompressionError.invalid_huffman_table()
+
+    def inflate_batch(self, datas: list[bytes], out_size: int,
+                      format: str = "zlib", keep_on_device: bool = True):
+        """Batch of complete zlib/ios streams → (B, out_size) bytes."""
+        from ..lz77.errors import DecompressionError
+
+        if format == "zlib":
+            bodies = [d[2:] for d in datas]
+            out, adler = self.run_batch(bodies, out_size)
+            for i, d in enumerate(datas):
+                declared = int.from_bytes(d[-4:], "big")
+                if int(adler[i]) != declared:
+                    raise DecompressionError.invalid_stream_checksum(
+                        declared, int(adler[i]))
+        elif format == "ios":
+            out, _ = self.run_batch(datas, out_size)
+        else:
+            raise ValueError(f"unknown format {format!r}")
+        out = out[:, :out_size]
+        return out if keep_on_device else np.asarray(out)

@@ -25,6 +25,18 @@ from ..ops.unfilter import defilter_batch
 __all__ = ["decode_stage", "encode_stage", "filter_select_sharded",
            "BatchCodec"]
 
+_FUSED = None
+
+
+def _fused_engine():
+    """Process-wide fused inflate engine (compiled programs are reused)."""
+    global _FUSED
+    if _FUSED is None:
+        from ..ops.inflate_fused import InflateFused
+
+        _FUSED = InflateFused()
+    return _FUSED
+
 
 @functools.partial(
     jax.jit,
@@ -104,12 +116,15 @@ class BatchCodec:
     # -- decode -----------------------------------------------------------
 
     def decode_filtered(self, images_png: list[bytes],
-                        device_inflate: bool = True) -> tuple[np.ndarray, dict]:
+                        device_inflate: bool = True, keep_on_device=False):
         """Inflate each PNG into its filtered scanlines.
 
         Container lexing is host work; the DEFLATE streams are inflated by
-        the parallel device path (:mod:`swift_png_tpu.ops.inflate`) unless
-        ``device_inflate=False`` selects the host engine.
+        the single-call fused device engine
+        (:mod:`swift_png_tpu.ops.inflate_fused`) unless
+        ``device_inflate=False`` selects the host engine.  With
+        ``keep_on_device`` the per-image outputs stay device-resident
+        (zero downloads on the decode path).
 
         Returns ``(B, H, 1+pitch)`` uint8 plus the shared format info dict.
         All images must agree on (size, pixel format).
@@ -153,9 +168,9 @@ class BatchCodec:
             pitch = (W * volume + 7) >> 3
             fmt = "ios" if standard == IOS else "zlib"
             if device_inflate:
-                from ..ops.inflate import inflate as dev_inflate
-
-                raw = dev_inflate(bytes(idat), H * (pitch + 1), fmt)
+                raw = _fused_engine().inflate(
+                    bytes(idat), H * (pitch + 1), fmt,
+                    keep_on_device=keep_on_device)
                 batch.append(raw.reshape(H, pitch + 1))
             else:
                 inflator = Inflator(fmt)
@@ -171,12 +186,20 @@ class BatchCodec:
             elif (info["size"], info["pixel"].name) != (this["size"],
                                                         this["pixel"].name):
                 raise ValueError("batch images must share size and format")
-        return np.stack(batch), info
+        stack = jnp.stack(batch) if keep_on_device else np.stack(batch)
+        return stack, info
 
     def decode(self, images_png: list[bytes], bits: int = 8,
-               device_inflate: bool = True) -> np.ndarray:
-        """Full batch decode to ``(B, H, W, 4)`` RGBA pixels."""
-        filtered, info = self.decode_filtered(images_png, device_inflate)
+               device_inflate: bool = True,
+               keep_on_device: bool = False):
+        """Full batch decode to ``(B, H, W, 4)`` RGBA pixels.
+
+        With ``keep_on_device`` the pixels are returned as a device array
+        (no host download) — the shape production pipelines use to feed the
+        pixels straight into further device work.
+        """
+        filtered, info = self.decode_filtered(images_png, device_inflate,
+                                              keep_on_device)
         W, H = info["size"]
         pixel = info["pixel"]
         delay = (pixel.volume + 7) >> 3
@@ -198,11 +221,12 @@ class BatchCodec:
             else:
                 key_arr = jnp.asarray(np.array(transparency.value, np.int32))
         out = decode_stage(
-            self._shard(jnp.asarray(filtered)),
+            filtered if keep_on_device else self._shard(
+                jnp.asarray(filtered)),
             delay=delay, depth=pixel.depth, channels=pixel.channels,
             width=W, is_indexed=is_indexed, palette=pal_arr,
             has_key=key_arr is not None, key=key_arr, bits=bits)
-        return np.asarray(out)
+        return out if keep_on_device else np.asarray(out)
 
     # -- encode -----------------------------------------------------------
 
