@@ -1,0 +1,160 @@
+"""Host-native runtime tier: ctypes bindings over ``libspt_native.so``.
+
+The C++ engine implements the same stream semantics as the Python tier —
+sequential inflate/deflate for the streaming APIs, checksums, and the PNG
+defilter/filter hot loops — at native speed.  The device kernels in
+:mod:`swift_png_tpu.ops` remain the batch/TPU path; this tier serves the
+byte-at-a-time host paths (streaming ``Context``, text/iCCP chunk codecs,
+CLI-style one-shots).
+
+Build once with ``python -m swift_png_tpu.native.build``; all entry points
+degrade gracefully to the Python tier when the library is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libspt_native.so")
+_lib = None
+
+_ERRORS = {
+    -1: "invalid_block_type", -2: "invalid_parity", -3: "invalid_table",
+    -4: "invalid_codelengths", -5: "invalid_distance", -6: "output_overflow",
+    -7: "truncated", -8: "invalid_header", -9: "invalid_checksum",
+    -10: "invalid_argument",
+}
+
+_FORMATS = {"zlib": 0, "ios": 1, "raw": 1, "gzip": 2}
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        from . import build as _build
+
+        try:
+            _build.build(verbose=False)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.spt_crc32.restype = ctypes.c_uint32
+    lib.spt_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_uint32]
+    lib.spt_adler32.restype = ctypes.c_uint32
+    lib.spt_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                ctypes.c_uint32]
+    lib.spt_inflate.restype = ctypes.c_longlong
+    lib.spt_inflate.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                ctypes.c_void_p, ctypes.c_size_t,
+                                ctypes.c_int]
+    lib.spt_deflate.restype = ctypes.c_longlong
+    lib.spt_deflate.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                ctypes.c_void_p, ctypes.c_size_t,
+                                ctypes.c_int, ctypes.c_int]
+    lib.spt_deflate_blocks.restype = ctypes.c_longlong
+    lib.spt_deflate_blocks.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                       ctypes.c_void_p, ctypes.c_size_t,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_long]
+    lib.spt_defilter.restype = ctypes.c_int
+    lib.spt_defilter.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int]
+    lib.spt_filter_select.restype = ctypes.c_int
+    lib.spt_filter_select.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeError(RuntimeError):
+    def __init__(self, code: int):
+        super().__init__(_ERRORS.get(code, f"native error {code}"))
+        self.code = code
+
+
+def inflate(data: bytes, out_size: int, format: str = "zlib") -> bytes:
+    """One-shot native inflate of a complete stream of known output size."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.empty(out_size, np.uint8)
+    n = lib.spt_inflate(data, len(data), out.ctypes.data, out_size,
+                        _FORMATS[format])
+    if n < 0:
+        raise NativeError(n)
+    if n != out_size:
+        raise NativeError(-6)
+    return out.tobytes()
+
+
+def deflate(data: bytes, level: int = 9, format: str = "zlib",
+            block_terms: int = 0) -> bytes:
+    """One-shot native deflate.
+
+    ``block_terms`` caps tokens per dynamic block (0 → default 16384);
+    larger blocks favor the device decode path (fewer sequential block
+    rounds) at a tiny ratio cost from less adaptive trees.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    cap = len(data) + (len(data) >> 2) + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.spt_deflate_blocks(data, len(data), out.ctypes.data, cap, level,
+                               _FORMATS[format], block_terms)
+    if n < 0:
+        raise NativeError(n)
+    return out[:n].tobytes()
+
+
+def crc32(data: bytes, state: int = 0) -> int:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    return lib.spt_crc32(data, len(data), state)
+
+
+def adler32(data: bytes, state: int = 1) -> int:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    return lib.spt_adler32(data, len(data), state)
+
+
+def defilter(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """In-place defilter of ``(H, 1+pitch)`` uint8 scanlines; returns the
+    ``(H, pitch)`` data view."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rows = np.ascontiguousarray(rows, np.uint8)
+    H, pitch1 = rows.shape
+    lib.spt_defilter(rows.ctypes.data, H, pitch1 - 1, bpp)
+    return rows[:, 1:]
+
+
+def filter_select(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """Filter ``(H, pitch)`` raw scanlines → ``(H, 1+pitch)``."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rows = np.ascontiguousarray(rows, np.uint8)
+    H, pitch = rows.shape
+    out = np.empty((H, pitch + 1), np.uint8)
+    lib.spt_filter_select(rows.ctypes.data, H, pitch, bpp, out.ctypes.data)
+    return out

@@ -1,0 +1,439 @@
+// spt_native: the host-native runtime tier of swift_png_tpu.
+//
+// From-scratch DEFLATE/zlib/gzip codec, checksums, and PNG defilter in
+// C++ — the sequential engine that complements the device kernels the way
+// the reference's hand-tuned Swift hot loops do (behavioral counterparts:
+// LZ77.InflatorBuffers.Stream.swift token loop :266-381, DeflatorWindow
+// match search :115-212, PNG.Decoder.defilter :152-196).  No external
+// libraries; exact same stream semantics as the Python tier.
+//
+// Build: python -m swift_png_tpu.native.build
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// checksums
+// ---------------------------------------------------------------------------
+
+static uint32_t crc_tables[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    if (crc_init_done) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++) c = (c >> 1) ^ (c & 1 ? 0xEDB88320u : 0);
+        crc_tables[0][i] = c;
+    }
+    for (int s = 1; s < 8; s++)
+        for (uint32_t i = 0; i < 256; i++) {
+            uint32_t p = crc_tables[s - 1][i];
+            crc_tables[s][i] = crc_tables[0][p & 0xFF] ^ (p >> 8);
+        }
+    crc_init_done = true;
+}
+
+uint32_t spt_crc32(const uint8_t* data, size_t n, uint32_t state) {
+    crc_init();
+    uint32_t crc = state ^ 0xFFFFFFFFu;
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t w;
+        memcpy(&w, data + i, 8);
+        w ^= crc;
+        crc = crc_tables[7][w & 0xFF] ^ crc_tables[6][(w >> 8) & 0xFF]
+            ^ crc_tables[5][(w >> 16) & 0xFF] ^ crc_tables[4][(w >> 24) & 0xFF]
+            ^ crc_tables[3][(w >> 32) & 0xFF] ^ crc_tables[2][(w >> 40) & 0xFF]
+            ^ crc_tables[1][(w >> 48) & 0xFF] ^ crc_tables[0][(w >> 56) & 0xFF];
+    }
+    for (; i < n; i++) crc = crc_tables[0][(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t spt_adler32(const uint8_t* data, size_t n, uint32_t state) {
+    uint32_t s1 = state & 0xFFFF, s2 = (state >> 16) & 0xFFFF;
+    size_t i = 0;
+    while (i < n) {
+        size_t run = std::min<size_t>(n - i, 5552);  // LZ77.MRC32.swift:26-48
+        for (size_t k = 0; k < run; k++) { s1 += data[i + k]; s2 += s1; }
+        s1 %= 65521; s2 %= 65521;
+        i += run;
+    }
+    return (s2 << 16) | s1;
+}
+
+// ---------------------------------------------------------------------------
+// inflate
+// ---------------------------------------------------------------------------
+
+static const uint16_t RUN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+    35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t RUN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,
+    4,4,4,4,5,5,5,5,0};
+static const uint16_t DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,
+    193,257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,
+    9,9,10,10,11,11,12,12,13,13};
+static const uint8_t CLO[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+struct BitReader {
+    const uint8_t* data;
+    size_t n;
+    size_t pos = 0;        // byte cursor
+    uint64_t acc = 0;
+    int bits = 0;
+
+    void refill() {
+        while (bits <= 56) {
+            uint64_t b = pos < n ? data[pos] : 0;
+            acc |= b << bits;
+            bits += 8;
+            pos++;
+        }
+    }
+    uint32_t peek(int c) { refill(); return acc & ((1u << c) - 1); }
+    void drop(int c) { acc >>= c; bits -= c; }
+    uint32_t read(int c) { uint32_t v = peek(c); drop(c); return v; }
+    void align() { int r = bits & 7; acc >>= r; bits -= r; }
+    size_t byte_cursor() const { return pos - bits / 8; }
+    bool overrun() const { return byte_cursor() > n + 8; }
+};
+
+// flat decode LUT: entry = (len << 16) | symbol, indexed by the next
+// `width` bits where width = actual max code length (≤ max_len); returns
+// the width via out param, or -1 on malformed lengths
+static int build_table(const uint8_t* lengths, int nsym, int max_len,
+                       std::vector<uint32_t>& table) {
+    int counts[16] = {0};
+    int used = 0, one_sym = -1, width = 1;
+    for (int s = 0; s < nsym; s++)
+        if (lengths[s]) {
+            counts[lengths[s]]++;
+            used++;
+            one_sym = s;
+            if (lengths[s] > width) width = lengths[s];
+        }
+    if (width > max_len) return -1;
+    table.assign(size_t(1) << width, 0);
+    if (used == 0) return width;
+    if (used == 1) {  // 1-bit stub (HuffmanTree.swift:112-174 semantics)
+        for (size_t i = 0; i < table.size(); i += 2)
+            table[i] = (1u << 16) | one_sym;
+        return width;
+    }
+    // kraft check
+    long kraft = 0;
+    for (int l = 1; l <= width; l++) kraft += (long)counts[l] << (width - l);
+    if (kraft != (1L << width)) return -1;
+    int next_code[16], code = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code + counts[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    for (int s = 0; s < nsym; s++) {
+        int l = lengths[s];
+        if (!l) continue;
+        int c = next_code[l]++;
+        // bit-reverse c over l bits
+        uint32_t rev = 0;
+        for (int b = 0; b < l; b++) rev |= ((c >> b) & 1) << (l - 1 - b);
+        for (size_t i = rev; i < table.size(); i += size_t(1) << l)
+            table[i] = ((uint32_t)l << 16) | s;
+    }
+    return width;
+}
+
+// error codes
+enum {
+    SPT_OK = 0, SPT_E_BLOCKTYPE = -1, SPT_E_PARITY = -2, SPT_E_TABLE = -3,
+    SPT_E_CODELEN = -4, SPT_E_DISTANCE = -5, SPT_E_OUTPUT = -6,
+    SPT_E_TRUNCATED = -7, SPT_E_HEADER = -8, SPT_E_CHECKSUM = -9,
+    SPT_E_ARG = -10,
+};
+
+// raw DEFLATE body → dst; returns bytes written or negative error.
+// consumed (optional) receives the byte length of the compressed body.
+long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
+                          size_t dstcap, size_t* consumed) {
+    BitReader br{src, srclen};
+    size_t out = 0;
+    std::vector<uint32_t> lit_table, dist_table;
+    uint8_t lens[320];
+    for (;;) {
+        uint32_t final_ = br.read(1);
+        uint32_t btype = br.read(2);
+        if (br.overrun()) return SPT_E_TRUNCATED;
+        if (btype == 0) {
+            br.align();
+            uint32_t len = br.read(16);
+            uint32_t nlen = br.read(16);
+            if ((len ^ 0xFFFF) != nlen) return SPT_E_PARITY;
+            size_t start = br.byte_cursor();
+            if (start + len > srclen) return SPT_E_TRUNCATED;
+            if (out + len > dstcap) return SPT_E_OUTPUT;
+            memcpy(dst + out, src + start, len);
+            out += len;
+            br = BitReader{src, srclen};
+            br.pos = start + len;
+        } else if (btype == 3) {
+            return SPT_E_BLOCKTYPE;
+        } else {
+            int lit_max = 15, dist_max = 15;
+            if (btype == 1) {
+                static std::vector<uint32_t> flit, fdist;
+                if (flit.empty()) {
+                    uint8_t ll[288], dl[32];
+                    for (int i = 0; i < 144; i++) ll[i] = 8;
+                    for (int i = 144; i < 256; i++) ll[i] = 9;
+                    for (int i = 256; i < 280; i++) ll[i] = 7;
+                    for (int i = 280; i < 288; i++) ll[i] = 8;
+                    // all 32 five-bit codes exist; symbols 30/31 are
+                    // rejected at decode time (RFC 1951 §3.2.6)
+                    for (int i = 0; i < 32; i++) dl[i] = 5;
+                    build_table(ll, 288, 9, flit);
+                    build_table(dl, 32, 5, fdist);
+                }
+                lit_table = flit; dist_table = fdist;
+                lit_max = 9; dist_max = 5;
+            } else {
+                uint32_t hlit = br.read(5) + 257;
+                uint32_t hdist = br.read(5) + 1;
+                uint32_t hclen = br.read(4) + 4;
+                if (hlit > 286) return SPT_E_TABLE;
+                uint8_t mlens[19] = {0};
+                for (uint32_t i = 0; i < hclen; i++)
+                    mlens[CLO[i]] = br.read(3);
+                std::vector<uint32_t> meta;
+                int meta_w = build_table(mlens, 19, 7, meta);
+                if (meta_w < 0) return SPT_E_TABLE;
+                uint32_t total = hlit + hdist;
+                memset(lens, 0, sizeof lens);
+                uint32_t i = 0;
+                while (i < total) {
+                    uint32_t e = meta[br.peek(meta_w)];
+                    int l = e >> 16;
+                    if (!l) return SPT_E_CODELEN;
+                    int sym = e & 0xFFFF;
+                    br.drop(l);
+                    if (sym < 16) {
+                        lens[i++] = sym;
+                    } else if (sym == 16) {
+                        if (i == 0) return SPT_E_CODELEN;
+                        uint32_t r = 3 + br.read(2);
+                        if (i + r > total) return SPT_E_CODELEN;
+                        uint8_t v = lens[i - 1];
+                        while (r--) lens[i++] = v;
+                    } else if (sym == 17) {
+                        uint32_t r = 3 + br.read(3);
+                        if (i + r > total) return SPT_E_CODELEN;
+                        i += r;
+                    } else {
+                        uint32_t r = 11 + br.read(7);
+                        if (i + r > total) return SPT_E_CODELEN;
+                        i += r;
+                    }
+                    if (br.overrun()) return SPT_E_TRUNCATED;
+                }
+                bool any = false;
+                for (uint32_t s = 0; s < hlit; s++) if (lens[s]) any = true;
+                if (!any) return SPT_E_TABLE;
+                lit_max = build_table(lens, hlit, 15, lit_table);
+                if (lit_max < 0) return SPT_E_TABLE;
+                dist_max = build_table(lens + hlit, hdist, 15, dist_table);
+                if (dist_max < 0) return SPT_E_TABLE;
+            }
+            uint32_t lit_mask = (1u << lit_max) - 1;
+            uint32_t dist_mask = (1u << dist_max) - 1;
+            for (;;) {
+                uint32_t e = lit_table[br.peek(lit_max) & lit_mask];
+                int l = e >> 16;
+                if (!l) return SPT_E_TABLE;
+                int sym = e & 0xFFFF;
+                br.drop(l);
+                if (sym < 256) {
+                    if (out >= dstcap) return SPT_E_OUTPUT;
+                    dst[out++] = (uint8_t)sym;
+                } else if (sym == 256) {
+                    break;
+                } else {
+                    if (sym > 285) return SPT_E_TABLE;
+                    int d = sym - 257;
+                    uint32_t run = RUN_BASE[d] + br.read(RUN_EXTRA[d]);
+                    uint32_t de = dist_table[br.peek(dist_max) & dist_mask];
+                    int dl = de >> 16;
+                    if (!dl) return SPT_E_DISTANCE;
+                    int dsym = de & 0xFFFF;
+                    if (dsym > 29) return SPT_E_DISTANCE;
+                    br.drop(dl);
+                    uint32_t dist = DIST_BASE[dsym] + br.read(DIST_EXTRA[dsym]);
+                    if (dist > out) return SPT_E_DISTANCE;
+                    if (out + run > dstcap) return SPT_E_OUTPUT;
+                    // forward byte copy handles overlap
+                    // (LZ77.InflatorOut.swift:124-139)
+                    uint8_t* p = dst + out;
+                    const uint8_t* q = p - dist;
+                    for (uint32_t k = 0; k < run; k++) p[k] = q[k];
+                    out += run;
+                }
+                if (br.overrun()) return SPT_E_TRUNCATED;
+            }
+        }
+        if (final_) break;
+    }
+    if (consumed) {
+        br.align();
+        *consumed = br.byte_cursor();
+    }
+    return (long long)out;
+}
+
+// format: 0 = zlib (verify adler), 1 = ios/raw, 2 = gzip (verify crc)
+long long spt_inflate(const uint8_t* src, size_t srclen, uint8_t* dst,
+                      size_t dstcap, int format) {
+    if (format == 0) {
+        if (srclen < 6) return SPT_E_TRUNCATED;
+        uint8_t cmf = src[0], flg = src[1];
+        if ((cmf & 0x0F) != 8) return SPT_E_HEADER;
+        if ((cmf * 256 + flg) % 31) return SPT_E_HEADER;
+        if (flg & 0x20) return SPT_E_HEADER;
+        size_t used = 0;
+        long long n = spt_inflate_raw(src + 2, srclen - 2, dst, dstcap, &used);
+        if (n < 0) return n;
+        if (2 + used + 4 > srclen) return SPT_E_TRUNCATED;
+        uint32_t declared = (uint32_t)src[2 + used] << 24
+            | (uint32_t)src[2 + used + 1] << 16
+            | (uint32_t)src[2 + used + 2] << 8 | src[2 + used + 3];
+        if (spt_adler32(dst, n, 1) != declared) return SPT_E_CHECKSUM;
+        return n;
+    }
+    if (format == 1) return spt_inflate_raw(src, srclen, dst, dstcap, nullptr);
+    if (format == 2) {
+        if (srclen < 18) return SPT_E_TRUNCATED;
+        if (src[0] != 0x1F || src[1] != 0x8B || src[2] != 8)
+            return SPT_E_HEADER;
+        uint8_t flags = src[3];
+        if (flags & 0xE0) return SPT_E_HEADER;
+        if (flags & 0x02) return SPT_E_HEADER;  // header CRC unsupported
+        size_t off = 10;
+        if (flags & 0x04) {
+            if (off + 2 > srclen) return SPT_E_TRUNCATED;
+            off += 2 + (src[off] | src[off + 1] << 8);
+        }
+        for (int s = 0; s < 2; s++) {
+            if (flags & (s == 0 ? 0x08 : 0x10)) {
+                while (off < srclen && src[off]) off++;
+                if (off >= srclen) return SPT_E_TRUNCATED;
+                off++;
+            }
+        }
+        size_t used = 0;
+        long long n = spt_inflate_raw(src + off, srclen - off, dst, dstcap,
+                                      &used);
+        if (n < 0) return n;
+        if (off + used + 8 > srclen) return SPT_E_TRUNCATED;
+        const uint8_t* t = src + off + used;
+        uint32_t declared = t[0] | t[1] << 8 | (uint32_t)t[2] << 16
+            | (uint32_t)t[3] << 24;
+        if (spt_crc32(dst, n, 0) != declared) return SPT_E_CHECKSUM;
+        return n;
+    }
+    return SPT_E_ARG;
+}
+
+// ---------------------------------------------------------------------------
+// PNG defilter / filter
+// ---------------------------------------------------------------------------
+
+static inline int paeth(int a, int b, int c) {
+    // branchless form of PNG.paeth (PNG.swift:123-147)
+    int p = a + b - c;
+    int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+    if (pa <= pb && pa <= pc) return a;
+    return pb <= pc ? b : c;
+}
+
+// rows: H rows of (1 + pitch) bytes, defiltered in place
+int spt_defilter(uint8_t* rows, int H, int pitch, int bpp) {
+    std::vector<uint8_t> zero(pitch, 0);
+    uint8_t* prev = zero.data();
+    for (int y = 0; y < H; y++) {
+        uint8_t* line = rows + (size_t)y * (pitch + 1);
+        uint8_t f = line[0];
+        uint8_t* cur = line + 1;
+        switch (f) {
+        case 0: break;
+        case 1:
+            for (int i = bpp; i < pitch; i++) cur[i] += cur[i - bpp];
+            break;
+        case 2:
+            for (int i = 0; i < pitch; i++) cur[i] += prev[i];
+            break;
+        case 3:
+            for (int i = 0; i < bpp && i < pitch; i++)
+                cur[i] += prev[i] >> 1;
+            for (int i = bpp; i < pitch; i++)
+                cur[i] += (cur[i - bpp] + prev[i]) >> 1;
+            break;
+        case 4:
+            for (int i = 0; i < bpp && i < pitch; i++) cur[i] += prev[i];
+            for (int i = bpp; i < pitch; i++)
+                cur[i] += paeth(cur[i - bpp], prev[i], prev[i - bpp]);
+            break;
+        default: break;  // invalid filter passes through, like the reference
+        }
+        prev = cur;
+    }
+    return 0;
+}
+
+// filter-select: raw rows (H × pitch) → out rows (H × (1+pitch)),
+// minimum sum-of-abs-Int8 heuristic (PNG.Encoder.swift:132-234)
+int spt_filter_select(const uint8_t* rows, int H, int pitch, int bpp,
+                      uint8_t* out) {
+    std::vector<uint8_t> zero(pitch, 0);
+    std::vector<uint8_t> cand(5 * (size_t)pitch);
+    const uint8_t* prev = zero.data();
+    for (int y = 0; y < H; y++) {
+        const uint8_t* cur = rows + (size_t)y * pitch;
+        uint8_t* c0 = cand.data();
+        uint8_t* c1 = c0 + pitch;
+        uint8_t* c2 = c1 + pitch;
+        uint8_t* c3 = c2 + pitch;
+        uint8_t* c4 = c3 + pitch;
+        for (int i = 0; i < pitch; i++) {
+            int a = i >= bpp ? cur[i - bpp] : 0;
+            int b = prev[i];
+            int c = i >= bpp ? prev[i - bpp] : 0;
+            c0[i] = cur[i];
+            c1[i] = (uint8_t)(cur[i] - a);
+            c2[i] = (uint8_t)(cur[i] - b);
+            c3[i] = (uint8_t)(cur[i] - ((a + b) >> 1));
+            c4[i] = (uint8_t)(cur[i] - paeth(a, b, c));
+        }
+        long best_score = -1;
+        int best = 0;
+        for (int f = 0; f < 5; f++) {
+            const uint8_t* c = cand.data() + (size_t)f * pitch;
+            long score = 0;
+            for (int i = 0; i < pitch; i++)
+                score += abs((int8_t)c[i]);
+            if (best_score < 0 || score < best_score) {
+                best_score = score;
+                best = f;
+            }
+        }
+        uint8_t* o = out + (size_t)y * (pitch + 1);
+        o[0] = (uint8_t)best;
+        memcpy(o + 1, cand.data() + (size_t)best * pitch, pitch);
+        prev = cur;
+    }
+    return 0;
+}
+
+}  // extern "C"

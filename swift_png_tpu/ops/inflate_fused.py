@@ -100,22 +100,25 @@ def _canonical_params(lengths):
 def _canonical_decode(rev_code15, lim, first, offset, symbols):
     """Decode one MSB-first 15-bit reversed window per element.
 
+    Closed form instead of a per-length loop: the left-aligned thresholds
+    ``T[l] = lim[l] << (15-l)`` are non-decreasing for canonical codes
+    (``T[l+1] - T[l] = count[l+1] << (14-l) ≥ 0``), so the code length is
+    ``1 + #{l : rev15 ≥ T[l]}`` — 15 scalar-broadcast compares that XLA
+    fuses into a single pass, with no loop-carried state.  Zero-count
+    lengths have ``T[l] = T[l-1]`` and are skipped automatically.
+
     Returns ``(length, symbol)``; length 0 ⇒ invalid code.
     """
-    def body(l, state):
-        length, symidx, found = state
-        code_l = rev_code15 >> (15 - l)
-        hit = (~found) & (code_l < lim[l]) & (code_l >= first[l])
-        length = jnp.where(hit, l, length)
-        symidx = jnp.where(hit, offset[l] + code_l - first[l], symidx)
-        return length, symidx, found | hit
-
-    length, symidx, found = jax.lax.fori_loop(
-        1, 16, body,
-        (jnp.zeros_like(rev_code15), jnp.zeros_like(rev_code15),
-         jnp.zeros_like(rev_code15, dtype=bool)))
+    T = lim << (15 - jnp.arange(16, dtype=jnp.int32))
+    l = jnp.ones_like(rev_code15)
+    for k in range(1, 16):
+        l = l + (rev_code15 >= T[k]).astype(jnp.int32)
+    found = l <= 15
+    ls = jnp.clip(l, 1, 15)
+    code_l = rev_code15 >> (15 - ls)
+    symidx = offset[ls] + code_l - first[ls]
     sym = symbols[jnp.clip(symidx, 0, symbols.shape[0] - 1)]
-    return jnp.where(found, length, 0), jnp.where(found, sym, 0)
+    return jnp.where(found, ls, 0), jnp.where(found, sym, 0)
 
 
 def _fixed_params():

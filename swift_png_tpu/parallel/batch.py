@@ -254,15 +254,22 @@ class BatchCodec:
         filtered = encode_stage(self._shard(rows), delay)
         filtered_np = np.asarray(filtered)
 
+        from .. import native
+
+        use_native = native.available()
         outs = []
         header = parsing.Header((W, H), fmt.pixel, False)
         for b in range(B):
-            deflator = Deflator("zlib", level=level)
-            deflator.push(filtered_np[b].tobytes(), last=True)
+            if use_native:
+                idat = native.deflate(filtered_np[b].tobytes(), level, "zlib")
+            else:
+                deflator = Deflator("zlib", level=level)
+                deflator.push(filtered_np[b].tobytes(), last=True)
+                idat = deflator.pull()
             dest = ByteDestination()
             dest.signature()
             dest.format(chunks.IHDR, header.serialized)
-            dest.format(chunks.IDAT, deflator.pull())
+            dest.format(chunks.IDAT, idat)
             dest.format(chunks.IEND)
             outs.append(dest.getvalue())
         return outs
