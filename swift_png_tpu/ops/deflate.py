@@ -1,0 +1,369 @@
+"""Device deflate kernels: token emission, parallel bit packing, and the
+greedy match search.
+
+The reference packs bits serially through a 16-bit atom accumulator
+(``LZ77.DeflatorOut.append``, ``Sources/LZ77/Deflator/LZ77.DeflatorOut.
+swift:105-147``) and walks hash chains per position
+(``LZ77.DeflatorWindow.match``, ``…Window.swift:115-212``).  Both are
+reformulated as data-parallel passes:
+
+* **bit packing** — every term's full bit pattern (literal code, or
+  length code + extra + distance code + extra, ≤ 48 bits) is synthesized
+  independently as four 16-bit lanes; a prefix sum over bit lengths yields
+  each term's output offset; eight scatter-adds land the (bit-disjoint)
+  16-bit atom fragments.  Everything stays inside int32 — no 64-bit math.
+* **match search** — 4-byte keys for all positions at once, candidates from
+  a sort by (key, position) (the device analog of the F14 hash table +
+  chain walk: a position's nearest chain predecessors are its neighbors in
+  the sorted order), vectorized LCP via chunked 4-byte compares, and the
+  greedy parse extracted with the same pointer-jump doubling as the
+  inflate path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lz77 import constants as C
+from ..lz77.huffman import canonical_codes, lengths_from_frequencies
+from ..utils.bits import reverse_bits
+
+__all__ = ["pack_bits", "pack_terms", "greedy_tokens", "term_frequencies",
+           "deflate_device"]
+
+_RUN_EXTRA = jnp.asarray(C.RUN_EXTRA)
+_RUN_BASE = jnp.asarray(C.RUN_BASE)
+_DIST_EXTRA = jnp.asarray(C.DISTANCE_EXTRA)
+_DIST_BASE = jnp.asarray(C.DISTANCE_BASE)
+_RUN_DECADE = jnp.asarray(C.RUN_DECADE)
+_DIST_DECADE = jnp.asarray(C.DISTANCE_DECADE)
+
+
+def _place(lanes, piece, off):
+    """OR a ≤16-bit ``piece`` into four 16-bit lanes at bit ``off`` (≤ 48).
+
+    All arrays are int32; a piece spans at most two adjacent lanes.
+    """
+    lane = off >> 4
+    sub = off & 15
+    lo = (piece << sub) & 0xFFFF
+    hi = piece >> (16 - sub)
+    hi = jnp.where(sub == 0, 0, hi)
+    out = []
+    for j in range(4):
+        contrib = jnp.where(lane == j, lo, 0) + jnp.where(lane == j - 1,
+                                                          hi, 0)
+        out.append(lanes[j] | contrib)
+    return out
+
+
+@jax.jit
+def pack_terms(terms: jnp.ndarray, lit_bits, lit_len, dist_bits, dist_len):
+    """Synthesize every term's full bit pattern.
+
+    ``terms`` uses the host/reference packing (``LZ77.DeflatorTerm.swift``):
+    literal = ``0xF8000000 | value``; match = ``dd<<27 | dist_extra<<14 |
+    run_extra<<9 | 0x100 | rd``.
+
+    Returns ``(lanes (4, n) int32 of 16 bits each, nbits (n,))``.
+    """
+    terms = terms.astype(jnp.uint32)
+    is_lit = ((terms >> 27) == 31) & ((terms & 0x100) == 0)
+    litv = (terms & 0xFF).astype(jnp.int32)
+    rd = jnp.clip((terms & 0xFF).astype(jnp.int32), 0, 28)
+    dd = jnp.clip((terms >> 27).astype(jnp.int32), 0, 29)
+    run_extra_v = ((terms >> 9) & 0x1F).astype(jnp.int32)
+    dist_extra_v = ((terms >> 14) & 0x1FFF).astype(jnp.int32)
+
+    lanes = [jnp.zeros_like(litv) for _ in range(4)]
+    sym = jnp.where(is_lit, litv, 257 + rd)
+    p0 = lit_bits[sym]
+    n0 = lit_len[sym]
+    lanes = _place(lanes, p0, jnp.zeros_like(n0))
+    off = n0
+    # run extra bits (≤5), distance code (≤15), distance extra (≤13):
+    # matches only — pieces are zero-width for literals
+    reb = jnp.where(is_lit, 0, _RUN_EXTRA[rd])
+    lanes = _place(lanes, jnp.where(is_lit, 0, run_extra_v), off)
+    off = off + reb
+    dn = jnp.where(is_lit, 0, dist_len[dd])
+    lanes = _place(lanes, jnp.where(is_lit, 0, dist_bits[dd]), off)
+    off = off + dn
+    deb = jnp.where(is_lit, 0, _DIST_EXTRA[dd])
+    lanes = _place(lanes, jnp.where(is_lit, 0, dist_extra_v), off)
+    nbits = off + deb
+    return jnp.stack(lanes), nbits
+
+
+@jax.jit
+def pack_bits(lanes: jnp.ndarray, nbits: jnp.ndarray, valid: jnp.ndarray):
+    """Pack variable-length LSB-first bit patterns into a byte stream.
+
+    Args:
+      lanes: ``(4, n)`` int32 — each term's pattern as 16-bit lanes.
+      nbits: per-term bit counts (0…64).
+      valid: mask of live terms.
+
+    Returns:
+      ``(atoms (2n+8,) int32 of 16 bits each, total_bits)``.
+    """
+    n = nbits.shape[0]
+    nb = jnp.where(valid, nbits, 0)
+    offs = jnp.cumsum(nb) - nb
+    total = jnp.sum(nb)
+    natoms = 2 * n + 8
+    atoms = jnp.zeros(natoms, jnp.int32)
+    a0 = offs >> 4
+    sub = offs & 15
+    sink = natoms - 1
+    for j in range(4):
+        piece = lanes[j]
+        lo = (piece << sub) & 0xFFFF
+        hi = jnp.where(sub == 0, 0, piece >> (16 - sub))
+        live = valid & (nb > 16 * j)
+        atoms = atoms.at[jnp.where(live, a0 + j, sink)].add(
+            jnp.where(live, lo, 0))
+        atoms = atoms.at[jnp.where(live, a0 + j + 1, sink)].add(
+            jnp.where(live, hi, 0))
+    atoms = atoms.at[sink].set(0)
+    return atoms, total
+
+
+def atoms_to_bytes(atoms: np.ndarray, total_bits: int) -> bytes:
+    """Host: little-endian 16-bit atoms → the packed byte string."""
+    u16 = np.asarray(atoms, np.int64).astype(np.uint16)
+    return u16.tobytes()[: (int(total_bits) + 7) // 8]
+
+
+def _emit_tables(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
+    """Host: LSB-first (bits, length) emit tables from code lengths."""
+    lit_lengths = np.asarray(lit_lengths, np.int64)
+    dist_lengths = np.asarray(dist_lengths, np.int64)
+    lit_codes = canonical_codes(lit_lengths)
+    dist_codes = canonical_codes(dist_lengths)
+    lit_bits = np.array([reverse_bits(int(lit_codes[s]), int(lit_lengths[s]))
+                         for s in range(lit_lengths.size)], np.int64)
+    dist_bits = np.array([reverse_bits(int(dist_codes[s]),
+                                       int(dist_lengths[s]))
+                          for s in range(dist_lengths.size)], np.int64)
+    pad = 288 - lit_bits.size
+    if pad:
+        lit_bits = np.concatenate([lit_bits, np.zeros(pad, np.int64)])
+        lit_lengths = np.concatenate([lit_lengths, np.zeros(pad, np.int64)])
+    dpad = 30 - dist_bits.size
+    if dpad:
+        dist_bits = np.concatenate([dist_bits, np.zeros(dpad, np.int64)])
+        dist_lengths = np.concatenate([dist_lengths,
+                                       np.zeros(dpad, np.int64)])
+    return (jnp.asarray(lit_bits.astype(np.int32)),
+            jnp.asarray(lit_lengths.astype(np.int32)),
+            jnp.asarray(dist_bits.astype(np.int32)),
+            jnp.asarray(dist_lengths.astype(np.int32)))
+
+
+def term_frequencies(terms: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side symbol frequencies from packed terms."""
+    t = terms[valid].astype(np.uint32)
+    is_lit = (t >> 27 == 31) & ((t & 0x100) == 0)
+    freq = np.zeros(320, np.int64)
+    np.add.at(freq, np.where(is_lit, t & 0xFF, 257 + (t & 0xFF)), 1)
+    np.add.at(freq, 288 + (t[~is_lit] >> 27), 1)
+    freq[256] += 1
+    return freq
+
+
+def _load32(db: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    i = jnp.clip(idx, 0, db.shape[0] - 4)
+    return db[i] | db[i + 1] << 8 | db[i + 2] << 16 | db[i + 3] << 24
+
+
+def _eq_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """Matching low-byte count of a nonzero 4-byte XOR."""
+    b0 = ((x & 0xFF) == 0).astype(jnp.int32)
+    b1 = ((x & 0xFFFF) == 0).astype(jnp.int32)
+    b2 = ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+    return b0 + b1 + b2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t_cap", "max_chunks"))
+def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
+                  t_cap: int, max_chunks: int = 31):
+    """Greedy device match search over one buffer.
+
+    Returns ``(terms (t_cap,), valid (t_cap,), count)`` — packed encode
+    terms for the greedy parse (match threshold run ≥ 6, mirroring
+    ``DeflatorWindow.match``'s emit policy, ``…Window.swift:128-141``).
+    ``max_chunks`` caps the vectorized LCP at ``4 + 4·max_chunks`` bytes.
+    """
+    N = data.shape[0]
+    d32 = data.astype(jnp.uint32)
+    db = jnp.concatenate([d32, jnp.zeros(4, jnp.uint32)])
+    key = (db[:N] | db[1:N + 1] << 8 | db[2:N + 2] << 16 | db[3:N + 3] << 24)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    live = pos < n - 3
+    key = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    skey = key[order]
+
+    # best (run, dist) per position via a combined scatter-max key:
+    # run in the high bits, (32768 - dist) in the low bits so that among
+    # equal runs the smaller distance wins (cheaper extra bits)
+    best_comb = jnp.full(N, -1, jnp.int32)
+    for back in range(1, k + 1):
+        cand = jnp.roll(order, back)
+        same = jnp.roll(skey, back) == skey
+        this = order
+        cand_pos = jnp.where(same, cand, -1)
+        ok = (cand_pos >= 0) & (cand_pos < this) & (this - cand_pos < 32768)
+        run = jnp.full(N, 4, jnp.int32)
+        alive = ok
+        for chunk in range(1, max_chunks + 1):
+            a = _load32(db, this + 4 * chunk)
+            b = _load32(db, jnp.where(alive, cand_pos, 0) + 4 * chunk)
+            x = a ^ b
+            eq = (x == 0) & alive
+            add = jnp.where(eq, 4, _eq_bytes(x))
+            run = run + jnp.where(alive, add, 0)
+            alive = eq
+        run = jnp.minimum(jnp.minimum(run, 258), n - this)
+        combined = jnp.where(
+            ok & (run >= 4),
+            run * 65536 + (32768 - (this - cand_pos)), -1)
+        best_comb = best_comb.at[this].max(combined)
+
+    best_run = jnp.where(best_comb >= 0, best_comb >> 16, 0)
+    best_dist = jnp.where(best_comb >= 0,
+                          32768 - (best_comb & 0xFFFF), 0)
+
+    take = (best_run >= 6) & (pos + best_run <= n)
+    step = jnp.where(take, best_run, 1)
+    nxt = jnp.minimum(pos + step, N - 1).astype(jnp.int32)
+    nxt = jnp.where(pos >= n, pos, nxt)
+
+    ranks = jnp.arange(t_cap, dtype=jnp.int32)
+
+    def jbody(kk, state):
+        P, jump = state
+        sel = (ranks >> kk) & 1
+        P = jnp.where(sel == 1, jump[P], P)
+        return P, jump[jump]
+
+    K = max(1, (t_cap - 1).bit_length())
+    P, _ = jax.lax.fori_loop(0, K, jbody,
+                             (jnp.zeros(t_cap, jnp.int32), nxt))
+    tvalid = P < n
+    dup = jnp.concatenate([jnp.zeros(1, dtype=bool), P[1:] == P[:-1]])
+    tvalid = tvalid & ~dup
+    count = jnp.sum(tvalid.astype(jnp.int32))
+
+    is_match = take[P] & tvalid
+    run_t = jnp.clip(best_run[P], 0, 258)
+    dist_t = jnp.clip(best_dist[P], 0, 32768)
+    rd_t = _RUN_DECADE[run_t]
+    dd_t = _DIST_DECADE[dist_t]
+    lit_term = (jnp.uint32(0xF8000000)
+                | data[jnp.clip(P, 0, N - 1)].astype(jnp.uint32))
+    match_term = ((dd_t.astype(jnp.uint32) << 27)
+                  | ((dist_t - _DIST_BASE[dd_t]).astype(jnp.uint32) << 14)
+                  | ((run_t - _RUN_BASE[rd_t]).astype(jnp.uint32) << 9)
+                  | 0x100 | rd_t.astype(jnp.uint32))
+    terms = jnp.where(is_match, match_term, lit_term)
+    terms = jnp.where(tvalid, terms, 0)
+    return terms, tvalid, count
+
+
+def deflate_device(data: bytes, level: int = 3) -> bytes:
+    """One-shot zlib deflate with the device match search + bit packing.
+
+    Device: match search, greedy parse extraction, term bit synthesis,
+    bit packing.  Host: Huffman tree construction from the (tiny)
+    frequency table and dynamic-block header serialization — the same
+    host/device split as the reference's table build vs. token hot loop.
+    """
+    from ..lz77.checksums import adler32
+    from ..lz77.deflate import _write_stored_block
+    from ..utils.bits import BitWriter
+
+    del level  # the device path implements the greedy strategy
+    n = len(data)
+    out = BitWriter()
+    cmf = 0x78
+    flg = ~((cmf * 256) % 31) & 31
+    out.write_bytes(bytes([cmf, flg]))
+    if n < 3:
+        _write_stored_block(out, data, True)
+    else:
+        N = 1 << max(12, (n - 1).bit_length())
+        buf = np.zeros(N, np.uint8)
+        buf[:n] = np.frombuffer(data, np.uint8)
+        terms_d, valid_d, _ = greedy_tokens(
+            jnp.asarray(buf), jnp.int32(n), t_cap=N)
+        terms = np.asarray(terms_d)
+        valid = np.asarray(valid_d)
+        freq = term_frequencies(terms, valid)
+        lit_lengths = lengths_from_frequencies(freq[:286], 15, force=True)
+        dist_lengths = lengths_from_frequencies(freq[288:318], 15,
+                                                force=False)
+        tables = _emit_tables(lit_lengths, dist_lengths)
+        lanes, nbits = pack_terms(terms_d, *tables)
+        atoms, total = pack_bits(lanes, nbits, valid_d)
+        body = atoms_to_bytes(np.asarray(atoms), int(total))
+        _write_block_header_and_tables(out, lit_lengths, dist_lengths, True)
+        _append_bits(out, body, int(total))
+        lit_codes = canonical_codes(np.asarray(lit_lengths, np.int64))
+        out.write(reverse_bits(int(lit_codes[256]), int(lit_lengths[256])),
+                  int(lit_lengths[256]))
+    out.pad_to_byte()
+    return bytes(out.drain()) + adler32(data).to_bytes(4, "big")
+
+
+def _write_block_header_and_tables(out, lit_lengths, dist_lengths,
+                                   final: bool) -> None:
+    """Dynamic block header + code-length tables (host serialization,
+    identical policy to the Python tier's ``_write_dynamic_block``)."""
+    from ..lz77.deflate import _META_EXTRA, _metaterms
+
+    lit_lengths = np.asarray(lit_lengths, np.int64)
+    dist_lengths = np.asarray(dist_lengths, np.int64)
+    r = max(257, int(np.max(np.nonzero(lit_lengths)[0], initial=0)) + 1)
+    used_d = np.nonzero(dist_lengths)[0]
+    d = max(1, int(used_d.max()) + 1 if used_d.size else 1)
+    sequence = [int(lit_lengths[s]) for s in range(r)] + [
+        int(dist_lengths[s]) if s < dist_lengths.size else 0
+        for s in range(d)]
+    meta = _metaterms(sequence)
+    meta_freq = np.zeros(19, np.int64)
+    for sym, _ in meta:
+        meta_freq[sym] += 1
+    meta_lengths = lengths_from_frequencies(meta_freq, 7, force=False)
+    meta_codes = canonical_codes(meta_lengths)
+    order_lengths = [int(meta_lengths[sym]) for sym in C.CODELENGTH_ORDER]
+    hclen = 19
+    while hclen > 4 and order_lengths[hclen - 1] == 0:
+        hclen -= 1
+    out.write(1 if final else 0, 1)
+    out.write(2, 2)
+    out.write(r - 257, 5)
+    out.write(d - 1, 5)
+    out.write(hclen - 4, 4)
+    for i in range(hclen):
+        out.write(order_lengths[i], 3)
+    for sym, extra in meta:
+        out.write(reverse_bits(int(meta_codes[sym]), int(meta_lengths[sym])),
+                  int(meta_lengths[sym]))
+        eb = _META_EXTRA.get(sym, 0)
+        if eb:
+            out.write(extra, eb)
+
+
+def _append_bits(out, body: bytes, nbits: int) -> None:
+    """Append ``nbits`` LSB-first bits from ``body`` to the bit writer."""
+    full, rem = divmod(nbits, 8)
+    for i in range(full):
+        out.write(body[i], 8)
+    if rem:
+        out.write(body[full] & ((1 << rem) - 1), rem)
