@@ -652,3 +652,62 @@ class Deflator:
         out = bytes(self._buffer)
         self._buffer.clear()
         return out
+
+
+class NativeDeflator:
+    """Drop-in ``Deflator`` backed by the C++ engine.
+
+    Same push/pop/pull surface; input is accumulated and compressed in one
+    shot at ``last`` (the native engine handles blocking internally), then
+    sliced into ``hint``-sized output chunks like the reference's IDAT
+    chunking (``PNG.Image.swift:568-574``).
+    """
+
+    def __init__(self, format: str = "zlib", level: int = 9,
+                 exponent: int = 15, hint: int = 1 << 15) -> None:
+        if format not in ("zlib", "ios"):
+            raise ValueError(f"unknown format {format!r}")
+        del exponent  # native engine always uses the full 32 KB window
+        self.format = format
+        self.level = level
+        self.hint = max(1, hint)
+        self._parts: list[bytes] = []
+        self._out = b""
+        self._cursor = 0
+        self._finished = False
+
+    def push(self, data: bytes, last: bool = False) -> None:
+        assert not self._finished
+        self._parts.append(bytes(data))
+        if last:
+            from .. import native
+
+            payload = b"".join(self._parts)
+            self._out = native.deflate(payload, self.level, self.format)
+            self._finished = True
+
+    def pop(self) -> bytes | None:
+        avail = len(self._out) - self._cursor
+        if avail <= 0 or (not self._finished and avail < self.hint):
+            return None
+        take = min(avail, self.hint) if not self._finished else avail
+        out = self._out[self._cursor : self._cursor + take]
+        self._cursor += take
+        return out
+
+    def pull(self) -> bytes:
+        out = self._out[self._cursor :]
+        self._cursor = len(self._out)
+        return out
+
+
+def make_deflator(format: str = "zlib", level: int = 9, exponent: int = 15,
+                  hint: int = 1 << 15, engine: str = "auto"):
+    """Deflator factory: ``auto`` uses the native engine when available."""
+    if engine == "auto":
+        from .. import native
+
+        engine = "native" if native.available() else "python"
+    if engine == "native":
+        return NativeDeflator(format, level, exponent, hint)
+    return Deflator(format, level, exponent, hint)

@@ -61,13 +61,17 @@ def filter_select(cur: np.ndarray, prev: np.ndarray, delay: int) -> np.ndarray:
 class Encoder:
     """Per-image encode state (``PNG.Encoder``)."""
 
-    def __init__(self, standard: str, interlaced: bool, level: int, hint: int):
+    def __init__(self, standard: str, interlaced: bool, level: int, hint: int,
+                 engine: str = "auto"):
+        from ..lz77.deflate import make_deflator
+
         self.row: tuple[int, np.ndarray] | None = None
         self.pass_: int | None | str = 0 if interlaced else "image"
-        self.deflator = Deflator(
+        self.deflator = make_deflator(
             "ios" if standard == IOS else "zlib",
             level=level,
             hint=max(1, min(hint, 0x7FFFFFFF)),
+            engine=engine,
         )
 
     def pull(self, size: tuple[int, int], pixel, delegate) -> bytes | None:

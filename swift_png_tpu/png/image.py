@@ -218,9 +218,13 @@ class Image:
         return (header, self.layout.palette, self.layout.background,
                 self.layout.transparency, cgbi, standard)
 
-    def compress(self, stream: ByteDestination, level: int = 9, hint: int = 1 << 15) -> None:
+    def compress(self, stream: ByteDestination, level: int = 9,
+                 hint: int = 1 << 15, engine: str = "auto") -> None:
         """Encode to a bytestream with the reference's exact chunk order
-        (``PNG.Image.compress``, ``PNG.Image.swift:576-668``)."""
+        (``PNG.Image.compress``, ``PNG.Image.swift:576-668``).
+
+        ``engine``: ``auto`` (native C++ deflate when built), ``native``,
+        or ``python`` (the bit-level reference implementation)."""
         stream.signature()
         header, palette, background, transparency, cgbi, standard = self.encode_chunks()
         if cgbi is not None:
@@ -256,7 +260,8 @@ class Image:
         for (type_, data) in md.application:
             stream.format(type_, data)
 
-        encoder = Encoder(standard, self.layout.interlaced, level, hint)
+        encoder = Encoder(standard, self.layout.interlaced, level, hint,
+                          engine)
         while True:
             data = encoder.pull(self.size, self.layout.format.pixel, self.collect)
             if data is None:
@@ -264,14 +269,16 @@ class Image:
             stream.format(chunks.IDAT, data)
         stream.format(chunks.IEND)
 
-    def compress_bytes(self, level: int = 9, hint: int = 1 << 15) -> bytes:
+    def compress_bytes(self, level: int = 9, hint: int = 1 << 15,
+                       engine: str = "auto") -> bytes:
         dest = ByteDestination()
-        self.compress(dest, level, hint)
+        self.compress(dest, level, hint, engine)
         return dest.getvalue()
 
-    def compress_path(self, path: str, level: int = 9, hint: int = 1 << 15) -> None:
+    def compress_path(self, path: str, level: int = 9, hint: int = 1 << 15,
+                      engine: str = "auto") -> None:
         with open(path, "wb") as f:
-            f.write(self.compress_bytes(level, hint))
+            f.write(self.compress_bytes(level, hint, engine))
 
     # -- pixel access ---------------------------------------------------------
 
