@@ -73,21 +73,22 @@ def rescale(samples: jnp.ndarray, source_depth: int, dest_bits: int) -> jnp.ndar
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "channels", "width", "is_bgr", "is_indexed",
+    static_argnames=("depth", "channels", "is_bgr", "is_indexed",
                      "has_key", "bits"))
-def unpack_rgba(rows: jnp.ndarray, *, depth: int, channels: int, width: int,
-                is_bgr: bool = False, is_indexed: bool = False,
-                has_key: bool = False, palette: jnp.ndarray | None = None,
-                key: jnp.ndarray | None = None, bits: int = 8) -> jnp.ndarray:
-    """Defiltered rows → ``(H, width, 4)`` RGBA at ``bits`` precision.
+def samples_to_rgba(raw: jnp.ndarray, *, depth: int, channels: int,
+                    is_bgr: bool = False, is_indexed: bool = False,
+                    has_key: bool = False, palette: jnp.ndarray | None = None,
+                    key: jnp.ndarray | None = None,
+                    bits: int = 8) -> jnp.ndarray:
+    """Raw samples ``(H, W, C)`` int32 → ``(H, W, 4)`` RGBA at ``bits``
+    precision (``PNG.RGBA.unpack`` dispatch, ``PNG.RGBA.swift:259-366``).
 
-    Mirrors ``PNG.RGBA.unpack`` dispatch (``PNG.RGBA.swift:259-366``).
-    ``palette``: ``(n, 4)`` uint16 8-bit entries; ``key``: ``(channels,)``
+    ``palette``: ``(n, 4)`` 8-bit entries; ``key``: ``(channels,)``
     raw-depth chroma key samples.
     """
     tmax = (1 << bits) - 1
     dtype = jnp.uint8 if bits == 8 else jnp.uint16
-    raw = samples_from_rows(rows, depth, channels, width)  # (H, W, C) int32
+    H, width = raw.shape[0], raw.shape[1]
 
     if is_indexed:
         idx = raw[..., 0]
@@ -95,7 +96,6 @@ def unpack_rgba(rows: jnp.ndarray, *, depth: int, channels: int, width: int,
         return rescale(gathered, 8, bits)
 
     scaled = rescale(raw, depth, bits).astype(jnp.int32)
-    H = rows.shape[0]
     if channels == 1:
         v = scaled[..., 0]
         alpha = jnp.full((H, width), tmax, jnp.int32)
@@ -117,6 +117,22 @@ def unpack_rgba(rows: jnp.ndarray, *, depth: int, channels: int, width: int,
         else:
             out = scaled
     return out.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "channels", "width", "is_bgr", "is_indexed",
+                     "has_key", "bits"))
+def unpack_rgba(rows: jnp.ndarray, *, depth: int, channels: int, width: int,
+                is_bgr: bool = False, is_indexed: bool = False,
+                has_key: bool = False, palette: jnp.ndarray | None = None,
+                key: jnp.ndarray | None = None, bits: int = 8) -> jnp.ndarray:
+    """Defiltered rows → ``(H, width, 4)`` RGBA at ``bits`` precision."""
+    raw = samples_from_rows(rows, depth, channels, width)
+    return samples_to_rgba(raw, depth=depth, channels=channels,
+                           is_bgr=is_bgr, is_indexed=is_indexed,
+                           has_key=has_key, palette=palette, key=key,
+                           bits=bits)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "channels", "width"))
@@ -162,3 +178,44 @@ def straighten(premultiplied: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     product = jnp.uint32(tmax) * premultiplied.astype(jnp.uint32) + (a >> 1)
     out = (product // jnp.maximum(a, 1)).astype(premultiplied.dtype)
     return jnp.where(alpha == 0, premultiplied, out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "channels", "is_bgr", "is_indexed",
+                     "has_key", "bits"))
+def samples_to_va(raw: jnp.ndarray, *, depth: int, channels: int,
+                  is_bgr: bool = False, is_indexed: bool = False,
+                  has_key: bool = False, palette: jnp.ndarray | None = None,
+                  key: jnp.ndarray | None = None,
+                  bits: int = 8) -> jnp.ndarray:
+    """Raw samples → ``(H, W, 2)`` value–alpha (``PNG.VA.unpack``,
+    ``Sources/PNG/ColorTargets/PNG.VA.swift``): color formats contribute
+    their r channel as the value."""
+    tmax = (1 << bits) - 1
+    dtype = jnp.uint8 if bits == 8 else jnp.uint16
+    H, width = raw.shape[0], raw.shape[1]
+
+    if is_indexed:
+        idx = raw[..., 0]
+        gathered = palette.astype(jnp.int32)[idx][..., jnp.array([0, 3])]
+        return rescale(gathered, 8, bits)
+
+    scaled = rescale(raw, depth, bits).astype(jnp.int32)
+    if channels == 1:
+        v = scaled[..., 0]
+        alpha = jnp.full((H, width), tmax, jnp.int32)
+        if has_key:
+            alpha = jnp.where(raw[..., 0] == key[0], 0, tmax)
+    elif channels == 2:
+        v = scaled[..., 0]
+        alpha = scaled[..., 1]
+    elif channels == 3:
+        v = scaled[..., 2] if is_bgr else scaled[..., 0]
+        alpha = jnp.full((H, width), tmax, jnp.int32)
+        if has_key:
+            alpha = jnp.where((raw == key[None, None, :]).all(-1), 0, tmax)
+    else:
+        v = scaled[..., 2] if is_bgr else scaled[..., 0]
+        alpha = scaled[..., 3]
+    return jnp.stack([v, alpha], axis=-1).astype(dtype)

@@ -146,9 +146,6 @@ class BatchCodec:
                 standard = IOS
                 type_, payload = stream.chunk()
             header = parsing.Header.parse(payload, standard)
-            if header.interlaced:
-                raise ValueError("batch decode path is for non-interlaced "
-                                 "images; use Image.decompress for Adam7")
             palette = None
             transparency = None
             idat = bytearray()
@@ -165,22 +162,30 @@ class BatchCodec:
                     break
             W, H = header.size
             volume = header.pixel.volume
-            pitch = (W * volume + 7) >> 3
+            if header.interlaced:
+                from ..ops.deinterlace import pass_geometry
+
+                _, nbytes = pass_geometry((W, H), volume)
+                shape = None  # flat interlaced stream
+            else:
+                pitch = (W * volume + 7) >> 3
+                nbytes = H * (pitch + 1)
+                shape = (H, pitch + 1)
             fmt = "ios" if standard == IOS else "zlib"
             if device_inflate:
                 raw = _fused_engine().inflate(
-                    bytes(idat), H * (pitch + 1), fmt,
-                    keep_on_device=keep_on_device)
-                batch.append(raw.reshape(H, pitch + 1))
+                    bytes(idat), nbytes, fmt, keep_on_device=keep_on_device)
             else:
                 inflator = Inflator(fmt)
                 inflator.push(bytes(idat))
-                raw = inflator.pull(H * (pitch + 1))
-                if raw is None:
+                pulled = inflator.pull(nbytes)
+                if pulled is None:
                     raise ValueError("truncated image data")
-                batch.append(np.frombuffer(raw, np.uint8).reshape(H, pitch + 1))
+                raw = np.frombuffer(pulled, np.uint8)
+            batch.append(raw.reshape(shape) if shape else raw)
             this = dict(size=(W, H), pixel=header.pixel, palette=palette,
-                        transparency=transparency, standard=standard)
+                        transparency=transparency, standard=standard,
+                        interlaced=header.interlaced)
             if info is None:
                 info = this
             elif (info["size"], info["pixel"].name) != (this["size"],
@@ -220,12 +225,27 @@ class BatchCodec:
                     np.array([transparency.value], np.int32))
             else:
                 key_arr = jnp.asarray(np.array(transparency.value, np.int32))
-        out = decode_stage(
-            filtered if keep_on_device else self._shard(
-                jnp.asarray(filtered)),
-            delay=delay, depth=pixel.depth, channels=pixel.channels,
-            width=W, is_indexed=is_indexed, palette=pal_arr,
-            has_key=key_arr is not None, key=key_arr, bits=bits)
+        if info.get("interlaced"):
+            from ..ops.convolve import samples_to_rgba
+            from ..ops.deinterlace import deinterlace_samples
+
+            flat = (filtered if keep_on_device
+                    else self._shard(jnp.asarray(filtered)))
+            samples = jax.vmap(lambda f: deinterlace_samples(
+                f, size=(W, H), depth=pixel.depth,
+                channels=pixel.channels))(flat)
+            out = jax.vmap(lambda s: samples_to_rgba(
+                s, depth=pixel.depth, channels=pixel.channels,
+                is_indexed=is_indexed, palette=pal_arr,
+                has_key=key_arr is not None, key=key_arr,
+                bits=bits))(samples)
+        else:
+            out = decode_stage(
+                filtered if keep_on_device else self._shard(
+                    jnp.asarray(filtered)),
+                delay=delay, depth=pixel.depth, channels=pixel.channels,
+                width=W, is_indexed=is_indexed, palette=pal_arr,
+                has_key=key_arr is not None, key=key_arr, bits=bits)
         return out if keep_on_device else np.asarray(out)
 
     # -- encode -----------------------------------------------------------

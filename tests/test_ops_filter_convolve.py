@@ -120,3 +120,42 @@ def test_premultiply_straighten_match_host(dtype):
     np.testing.assert_array_equal(
         np.asarray(convolve.straighten(color, alpha)),
         host_straighten(color, alpha))
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize(
+    "kind,depth,channels",
+    [("v8", 8, 1), ("va8", 8, 2), ("rgb8", 8, 3), ("rgba16", 16, 4),
+     ("bgra8", 8, 4)])
+def test_samples_to_va_matches_host(bits, kind, depth, channels):
+    from swift_png_tpu.models import VA
+
+    rng = np.random.default_rng(hash((bits, kind)) & 0xFFFF)
+    W, H = 7, 5
+    raw = rng.integers(0, 1 << depth, (H, W, channels)).astype(np.int32)
+    target = VA.of8 if bits == 8 else VA.of16
+
+    class _Fmt:
+        is_indexed = False
+        is_bgr = kind.startswith("bgr")
+        key = None
+        palette = None
+
+        class pixel:
+            pass
+
+    _Fmt.kind = kind
+    _Fmt.pixel.depth = depth
+    _Fmt.pixel.channels = channels
+
+    if depth == 16:
+        flat = raw.reshape(-1)
+        storage = np.empty(flat.size * 2, np.uint8)
+        storage[0::2] = (flat >> 8).astype(np.uint8)
+        storage[1::2] = (flat & 0xFF).astype(np.uint8)
+    else:
+        storage = raw.reshape(-1).astype(np.uint8)
+    want = target.unpack(storage, _Fmt, (W, H))
+    got = np.asarray(convolve.samples_to_va(
+        raw, depth=depth, channels=channels, is_bgr=_Fmt.is_bgr, bits=bits))
+    np.testing.assert_array_equal(got, want)

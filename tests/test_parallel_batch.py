@@ -80,3 +80,17 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 32, 32, 4)
     ge.dryrun_multichip(8)
+
+
+def test_batch_decode_interlaced_matches_host():
+    if not os.path.isdir(CORPUS):
+        pytest.skip("reference corpus unavailable")
+    # Adam7 images across formats: rgba8, rgb8, grayscale 1/4-bit, palette
+    for name in ("basi6a08", "basi2c08", "basi0g01", "basi0g04", "basi3p02",
+                 "basi6a16"):
+        path = os.path.join(CORPUS, f"{name}.png")
+        data = open(path, "rb").read()
+        got = BatchCodec().decode([data] * 2, bits=16)
+        want = Image.decompress_bytes(data).unpack_rgba16()
+        np.testing.assert_array_equal(got[0], want, err_msg=name)
+        np.testing.assert_array_equal(got[1], want, err_msg=name)

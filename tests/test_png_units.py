@@ -75,3 +75,17 @@ def test_paeth_matches_spec():
 
     want = np.array([spec(*t) for t in zip(a, b, c)], np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_inspection_dump():
+    from swift_png_tpu.inspection import describe_image, describe_metadata
+    from swift_png_tpu.png.image import Image
+    from swift_png_tpu.png.metadata import Metadata
+
+    assert describe_metadata(Metadata()) == "(no metadata)"
+    import os
+    path = ("/root/reference/Sources/PNGIntegrationTests/Inputs/Common/"
+            "ccwn2c08.png")
+    if os.path.exists(path):
+        desc = describe_image(Image.decompress_path(path))
+        assert "32×32" in desc and "chromaticity" in desc and "gamma" in desc
