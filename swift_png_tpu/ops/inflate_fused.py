@@ -559,6 +559,39 @@ class InflateFused:
                     declared, adler)
         elif format == "ios":
             out, _ = self.run(data, out_size)
+        elif format == "gzip":
+            from ..lz77.checksums import crc32
+            from ..lz77.errors import GzipStreamHeaderError
+
+            if len(data) < 18 or data[0] != 0x1F or data[1] != 0x8B:
+                raise GzipStreamHeaderError.invalid_sigil()
+            if data[2] != 0x08:
+                raise GzipStreamHeaderError.invalid_compression_method(
+                    data[2])
+            flags = data[3]
+            if flags & 0b1110_0000:
+                raise GzipStreamHeaderError.invalid_flag_bits(flags)
+            if flags & 0x02:
+                raise GzipStreamHeaderError.header_checksum_unsupported()
+            off = 10
+            if flags & 0x04:
+                off += 2 + int.from_bytes(data[off:off + 2], "little")
+            for bit in (0x08, 0x10):
+                if flags & bit:
+                    off = data.index(b"\x00", off) + 1
+            out, _ = self.run(data[off:], out_size)
+            isize = int.from_bytes(data[-4:], "little")
+            if isize != out_size & 0xFFFFFFFF:
+                raise DecompressionError.invalid_stream_checksum(
+                    isize, out_size)
+            if not keep_on_device:
+                declared = int.from_bytes(data[-8:-4], "little")
+                host = np.asarray(out[:out_size])
+                computed = crc32(host)
+                if computed != declared:
+                    raise DecompressionError.invalid_stream_checksum(
+                        declared, computed)
+                return host
         else:
             raise ValueError(f"unknown format {format!r}")
         out = out[:out_size]

@@ -171,3 +171,20 @@ def test_repeat16_after_zero_run():
     assert want == b"\x00" * 5 and host.terminal
     got = ENGINE.inflate(payload, 5, "zlib")
     assert bytes(got) == want
+
+
+def test_gzip_container():
+    import gzip as gz
+    data = _sample(12000, seed=11)
+    comp = gz.compress(data, 7)
+    assert bytes(ENGINE.inflate(comp, len(data), "gzip")) == data
+    # our native gzip output too
+    from swift_png_tpu import native
+    if native.available():
+        comp2 = native.deflate(data, 6, "gzip")
+        assert bytes(ENGINE.inflate(comp2, len(data), "gzip")) == data
+    # corrupted crc raises
+    bad = bytearray(comp)
+    bad[-5] ^= 0xFF
+    with pytest.raises(DecompressionError):
+        ENGINE.inflate(bytes(bad), len(data), "gzip")

@@ -94,3 +94,50 @@ def test_batch_decode_interlaced_matches_host():
         want = Image.decompress_bytes(data).unpack_rgba16()
         np.testing.assert_array_equal(got[0], want, err_msg=name)
         np.testing.assert_array_equal(got[1], want, err_msg=name)
+
+
+def test_corpus_decoder_mixed_buckets():
+    if not os.path.isdir(CORPUS):
+        pytest.skip("reference corpus unavailable")
+    from swift_png_tpu.parallel.corpus import CorpusDecoder, bucket, probe
+
+    names = ["basn6a08", "basn2c08", "basi0g01", "basn6a08", "s05n3p02"]
+    datas = [open(os.path.join(CORPUS, f"{n}.png"), "rb").read()
+             for n in names]
+    buckets = bucket(datas)
+    assert len(buckets) == 4  # two basn6a08 share a bucket
+    p = probe(datas[2])
+    assert p.interlaced and p.size == (32, 32)
+
+    results = CorpusDecoder(batch_size=2).decode(datas, bits=16)
+    for i, name in enumerate(names):
+        want = Image.decompress_bytes(datas[i]).unpack_rgba16()
+        np.testing.assert_array_equal(results[i], want, err_msg=name)
+
+
+def test_combine_checksum_shards():
+    import zlib
+    from swift_png_tpu.parallel.distributed import (combine_adler_shards,
+                                                    combine_crc_shards)
+    from swift_png_tpu.lz77.checksums import adler32, crc32
+
+    rng = np.random.default_rng(0)
+    parts = [bytes(rng.integers(0, 256, rng.integers(1, 5000),
+                                dtype=np.uint8)) for _ in range(5)]
+    whole = b"".join(parts)
+    assert combine_adler_shards(
+        [(adler32(p), len(p)) for p in parts]) == zlib.adler32(whole)
+    assert combine_crc_shards(
+        [(crc32(p), len(p)) for p in parts]) == zlib.crc32(whole)
+
+
+def test_global_mesh_and_shard_assignment():
+    from swift_png_tpu.parallel.corpus import shard_buckets
+    from swift_png_tpu.parallel.distributed import global_mesh
+
+    mesh = global_mesh(rows=2)
+    assert mesh.devices.shape == (4, 2)
+    buckets = {f"k{i}": [i] for i in range(5)}
+    a = shard_buckets(buckets, 0, 2)
+    b = shard_buckets(buckets, 1, 2)
+    assert set(a) | set(b) == set(buckets) and not set(a) & set(b)
