@@ -189,15 +189,21 @@ def _eq_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return b0 + b1 + b2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_cap", "max_chunks"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "t_cap", "max_chunks", "lazy"))
 def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
-                  t_cap: int, max_chunks: int = 31):
-    """Greedy device match search over one buffer.
+                  t_cap: int, max_chunks: int = 31, lazy: bool = False):
+    """Greedy/lazy device match search over one buffer.
 
     Returns ``(terms (t_cap,), valid (t_cap,), count)`` — packed encode
-    terms for the greedy parse (match threshold run ≥ 6, mirroring
-    ``DeflatorWindow.match``'s emit policy, ``…Window.swift:128-141``).
-    ``max_chunks`` caps the vectorized LCP at ``4 + 4·max_chunks`` bytes.
+    terms (match threshold run ≥ 6, mirroring ``DeflatorWindow.match``'s
+    emit policy, ``…Window.swift:128-141``).  With ``lazy``, a position
+    whose successor has a longer match emits literal+deferred-match like
+    the reference's lazy strategy — every position's best match is already
+    computed, so the lazy decision is a pure per-position function and the
+    parse still extracts with rank pointer-jumping (a path node may carry
+    two terms).  ``max_chunks`` caps the vectorized LCP at
+    ``4 + 4·max_chunks`` bytes.
     """
     N = data.shape[0]
     d32 = data.astype(jnp.uint32)
@@ -219,16 +225,18 @@ def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
         this = order
         cand_pos = jnp.where(same, cand, -1)
         ok = (cand_pos >= 0) & (cand_pos < this) & (this - cand_pos < 32768)
-        run = jnp.full(N, 4, jnp.int32)
-        alive = ok
-        for chunk in range(1, max_chunks + 1):
+
+        def lcp_step(chunk, state):
+            run, alive = state
             a = _load32(db, this + 4 * chunk)
             b = _load32(db, jnp.where(alive, cand_pos, 0) + 4 * chunk)
             x = a ^ b
             eq = (x == 0) & alive
             add = jnp.where(eq, 4, _eq_bytes(x))
-            run = run + jnp.where(alive, add, 0)
-            alive = eq
+            return run + jnp.where(alive, add, 0), eq
+
+        run, _ = jax.lax.fori_loop(
+            1, max_chunks + 1, lcp_step, (jnp.full(N, 4, jnp.int32), ok))
         run = jnp.minimum(jnp.minimum(run, 258), n - this)
         combined = jnp.where(
             ok & (run >= 4),
@@ -240,7 +248,16 @@ def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
                           32768 - (best_comb & 0xFFFF), 0)
 
     take = (best_run >= 6) & (pos + best_run <= n)
-    step = jnp.where(take, best_run, 1)
+    if lazy:
+        run_n = jnp.concatenate([best_run[1:], jnp.zeros(1, jnp.int32)])
+        dist_n = jnp.concatenate([best_dist[1:], jnp.zeros(1, jnp.int32)])
+        pair = (take & (run_n > best_run)
+                & (pos + 1 + run_n <= n) & (pos + 1 < n))
+        step = jnp.where(pair, 1 + run_n, jnp.where(take, best_run, 1))
+    else:
+        pair = jnp.zeros(N, dtype=bool)
+        run_n = dist_n = best_run  # unused
+        step = jnp.where(take, best_run, 1)
     nxt = jnp.minimum(pos + step, N - 1).astype(jnp.int32)
     nxt = jnp.where(pos >= n, pos, nxt)
 
@@ -255,24 +272,40 @@ def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
     K = max(1, (t_cap - 1).bit_length())
     P, _ = jax.lax.fori_loop(0, K, jbody,
                              (jnp.zeros(t_cap, jnp.int32), nxt))
-    tvalid = P < n
+    nvalid = P < n
     dup = jnp.concatenate([jnp.zeros(1, dtype=bool), P[1:] == P[:-1]])
-    tvalid = tvalid & ~dup
-    count = jnp.sum(tvalid.astype(jnp.int32))
+    nvalid = nvalid & ~dup
 
-    is_match = take[P] & tvalid
-    run_t = jnp.clip(best_run[P], 0, 258)
-    dist_t = jnp.clip(best_dist[P], 0, 32768)
-    rd_t = _RUN_DECADE[run_t]
-    dd_t = _DIST_DECADE[dist_t]
+    def match_term_at(run_v, dist_v):
+        run_t = jnp.clip(run_v, 0, 258)
+        dist_t = jnp.clip(dist_v, 0, 32768)
+        rd_t = _RUN_DECADE[run_t]
+        dd_t = _DIST_DECADE[dist_t]
+        return ((dd_t.astype(jnp.uint32) << 27)
+                | ((dist_t - _DIST_BASE[dd_t]).astype(jnp.uint32) << 14)
+                | ((run_t - _RUN_BASE[rd_t]).astype(jnp.uint32) << 9)
+                | 0x100 | rd_t.astype(jnp.uint32))
+
     lit_term = (jnp.uint32(0xF8000000)
                 | data[jnp.clip(P, 0, N - 1)].astype(jnp.uint32))
-    match_term = ((dd_t.astype(jnp.uint32) << 27)
-                  | ((dist_t - _DIST_BASE[dd_t]).astype(jnp.uint32) << 14)
-                  | ((run_t - _RUN_BASE[rd_t]).astype(jnp.uint32) << 9)
-                  | 0x100 | rd_t.astype(jnp.uint32))
-    terms = jnp.where(is_match, match_term, lit_term)
-    terms = jnp.where(tvalid, terms, 0)
+    pair_n = pair[P] & nvalid
+    is_match = take[P] & nvalid & ~pair_n
+    term_a = jnp.where(is_match, match_term_at(best_run[P], best_dist[P]),
+                       lit_term)
+    # a lazy pair's second term is the deferred match at P+1
+    term_b = match_term_at(run_n[P], dist_n[P])
+
+    counts = jnp.where(nvalid, 1 + pair_n.astype(jnp.int32), 0)
+    offs = jnp.cumsum(counts) - counts
+    count = jnp.sum(counts)
+    sink = t_cap  # scatter target for dead lanes
+    terms = jnp.zeros(t_cap + 1, jnp.uint32)
+    terms = terms.at[jnp.where(nvalid, offs, sink)].set(
+        jnp.where(nvalid, term_a, 0))
+    terms = terms.at[jnp.where(pair_n, offs + 1, sink)].set(
+        jnp.where(pair_n, term_b, 0))
+    terms = terms[:t_cap]
+    tvalid = jnp.arange(t_cap) < count
     return terms, tvalid, count
 
 
@@ -288,7 +321,7 @@ def deflate_device(data: bytes, level: int = 3) -> bytes:
     from ..lz77.deflate import _write_stored_block
     from ..utils.bits import BitWriter
 
-    del level  # the device path implements the greedy strategy
+    lazy = level >= 4  # level → strategy, matching DeflatorSearch tiers
     n = len(data)
     out = BitWriter()
     cmf = 0x78
@@ -301,7 +334,7 @@ def deflate_device(data: bytes, level: int = 3) -> bytes:
         buf = np.zeros(N, np.uint8)
         buf[:n] = np.frombuffer(data, np.uint8)
         terms_d, valid_d, _ = greedy_tokens(
-            jnp.asarray(buf), jnp.int32(n), t_cap=N)
+            jnp.asarray(buf), jnp.int32(n), t_cap=N, lazy=lazy)
         terms = np.asarray(terms_d)
         valid = np.asarray(valid_d)
         freq = term_frequencies(terms, valid)

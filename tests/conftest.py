@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the device-kernel tests are compile-heavy
+# and their programs are identical across runs
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/jax_cache_swift_png_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE = "/root/reference"
 

@@ -140,3 +140,18 @@ def test_greedy_tokens_reconstruct():
             for _ in range(run):
                 out.append(out[-dist])
     assert bytes(out) == data
+
+
+@pytest.mark.parametrize("n", [100, 5000])
+def test_deflate_device_lazy_roundtrip(n):
+    data = _sample(n, seed=n + 1)
+    comp = dev.deflate_device(data, level=6)
+    assert zlib.decompress(comp) == data
+
+
+def test_lazy_not_worse_than_greedy():
+    data = _sample(20000, seed=8)
+    greedy = dev.deflate_device(data, level=3)
+    lazy = dev.deflate_device(data, level=6)
+    assert zlib.decompress(lazy) == data
+    assert len(lazy) <= len(greedy) * 1.02
