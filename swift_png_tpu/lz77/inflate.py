@@ -22,12 +22,21 @@ bulk streams.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import constants as C
 from .checksums import adler32, crc32
 from .errors import DecompressionError, GzipStreamHeaderError, StreamHeaderError
 from .huffman import HuffmanError, decode_table
+
+#: runtime analog of the reference's compile-time dump flags
+#: (``DUMP_LZ77_TERMS`` / ``DUMP_LZ77_SYMBOL_HISTOGRAM``,
+#: ``…InflatorBuffers.Stream.swift:11-26,295-313``): set
+#: ``SPT_DUMP_LZ77_STATS=1`` to collect and print per-stream token
+#: statistics at checksum time.
+DUMP_STATS = bool(os.environ.get("SPT_DUMP_LZ77_STATS"))
 
 
 class _Starved(Exception):
@@ -69,6 +78,21 @@ class RawInflator:
         # persisted mid-block state (compressed blocks)
         self._block: tuple | None = None  # (final, litlut, litmax, distlut, distmax)
         self._stored: tuple | None = None  # (final, end)
+        if DUMP_STATS:
+            self.stats = {"literals": 0, "matches": 0, "match_bytes": 0,
+                          "blocks": 0, "run_decades": np.zeros(29, np.int64),
+                          "dist_decades": np.zeros(30, np.int64)}
+
+    def dump_stats(self) -> None:
+        """Print the per-stream token statistics
+        (``_dumpPerfStats`` analog, ``…Stream.swift:469-486``)."""
+        s = self.stats
+        total = s["literals"] + s["match_bytes"]
+        print(f"[lz77] blocks={s['blocks']} literals={s['literals']} "
+              f"matches={s['matches']} match_bytes={s['match_bytes']} "
+              f"({100 * s['match_bytes'] / max(total, 1):.1f}% matched)")
+        print(f"[lz77] run decades:  {s['run_decades'].tolist()}")
+        print(f"[lz77] dist decades: {s['dist_decades'].tolist()}")
 
     # -- input management ---------------------------------------------------
 
@@ -133,6 +157,8 @@ class RawInflator:
             self._read_dynamic_tables(final)
         else:
             raise DecompressionError.invalid_block_type_code(btype)
+        if DUMP_STATS:
+            self.stats["blocks"] += 1
 
     def _read_dynamic_tables(self, final: int) -> None:
         hlit = self._read(5) + 257
@@ -249,6 +275,8 @@ class RawInflator:
                 if sym < 256:
                     pos += l
                     out.append(sym)
+                    if DUMP_STATS:
+                        self.stats["literals"] += 1
                     continue
                 if sym == 256:
                     pos += l
@@ -282,6 +310,11 @@ class RawInflator:
                     return False
                 distance = int(dist_base[dsym]) + (window & ((1 << db) - 1))
                 pos = start + consumed
+                if DUMP_STATS:
+                    self.stats["matches"] += 1
+                    self.stats["match_bytes"] += run
+                    self.stats["run_decades"][decade] += 1
+                    self.stats["dist_decades"][dsym] += 1
                 n = len(out)
                 if distance > n:
                     raise DecompressionError.invalid_string_reference()
@@ -344,6 +377,8 @@ class Inflator:
                 computed = adler32(raw.out)
                 if computed != declared:
                     raise DecompressionError.invalid_stream_checksum(declared, computed)
+                if DUMP_STATS:
+                    raw.dump_stats()
                 self._state = "terminal"
 
     def _read_zlib_header(self) -> None:
