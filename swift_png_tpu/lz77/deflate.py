@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import constants as C
-from .checksums import adler32, crc32
+from .checksums import adler32
 from .huffman import canonical_codes, lengths_from_frequencies
 from ..utils.bits import BitWriter, reverse_bits
 

@@ -225,6 +225,11 @@ class BatchCodec:
                     np.array([transparency.value], np.int32))
             else:
                 key_arr = jnp.asarray(np.array(transparency.value, np.int32))
+        from ..png.format import IOS
+
+        # CgBI streams store bgr8/bgra8 byte order (PNG.Format.swift:
+        # 356-550 recognize() maps them when the CgBI chunk is present)
+        is_bgr = info["standard"] == IOS and pixel.channels >= 3
         if info.get("interlaced"):
             from ..ops.convolve import samples_to_rgba
             from ..ops.deinterlace import deinterlace_samples
@@ -236,7 +241,7 @@ class BatchCodec:
                 channels=pixel.channels))(flat)
             out = jax.vmap(lambda s: samples_to_rgba(
                 s, depth=pixel.depth, channels=pixel.channels,
-                is_indexed=is_indexed, palette=pal_arr,
+                is_bgr=is_bgr, is_indexed=is_indexed, palette=pal_arr,
                 has_key=key_arr is not None, key=key_arr,
                 bits=bits))(samples)
         else:
@@ -244,8 +249,9 @@ class BatchCodec:
                 filtered if keep_on_device else self._shard(
                     jnp.asarray(filtered)),
                 delay=delay, depth=pixel.depth, channels=pixel.channels,
-                width=W, is_indexed=is_indexed, palette=pal_arr,
-                has_key=key_arr is not None, key=key_arr, bits=bits)
+                width=W, is_bgr=is_bgr, is_indexed=is_indexed,
+                palette=pal_arr, has_key=key_arr is not None, key=key_arr,
+                bits=bits)
         return out if keep_on_device else np.asarray(out)
 
     # -- encode -----------------------------------------------------------

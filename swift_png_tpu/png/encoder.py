@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..lz77 import Deflator
 from .decoder import ADAM7, adam7_subimage, paeth
 from .format import IOS
 

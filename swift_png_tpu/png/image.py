@@ -23,10 +23,10 @@ import numpy as np
 from . import chunk as chunks
 from . import parsing
 from .chunk import ByteDestination, ByteSource
-from .decoder import ADAM7, Decoder, adam7_subimage
+from .decoder import ADAM7, adam7_subimage
 from .encoder import Encoder
 from .errors import DecodingError
-from .format import COMMON, IOS, Format, Layout, recognize
+from .format import COMMON, IOS, Layout, recognize
 from .metadata import Metadata
 
 _STRIDE_BYTES = {

@@ -141,3 +141,16 @@ def test_global_mesh_and_shard_assignment():
     a = shard_buckets(buckets, 0, 2)
     b = shard_buckets(buckets, 1, 2)
     assert set(a) | set(b) == set(buckets) and not set(a) & set(b)
+
+
+def test_batch_decode_ios_cgbi():
+    ios_dir = os.path.join(conftest.REFERENCE,
+                           "Sources/PNGIntegrationTests/Inputs/iOS")
+    if not os.path.isdir(ios_dir):
+        pytest.skip("iOS corpus unavailable")
+    for name in ("basn6a08.png", "basn2c08.png", "basi6a08.png"):
+        data = open(os.path.join(ios_dir, name), "rb").read()
+        got = BatchCodec().decode([data] * 2, bits=8)
+        want = Image.decompress_bytes(data).unpack_rgba8()
+        np.testing.assert_array_equal(got[0], want, err_msg=name)
+        np.testing.assert_array_equal(got[1], want, err_msg=name)
