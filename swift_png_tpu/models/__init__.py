@@ -16,9 +16,10 @@ import numpy as np
 
 from .color import ColorTarget, deconvolve_samples, samples_from_storage
 from .rgba import RGBA
+from .v import V
 from .va import VA
 
-__all__ = ["RGBA", "VA", "ColorTarget", "premultiply", "straighten",
+__all__ = ["RGBA", "V", "VA", "ColorTarget", "premultiply", "straighten",
            "samples_from_storage", "deconvolve_samples"]
 
 

@@ -89,3 +89,18 @@ def test_inspection_dump():
     if os.path.exists(path):
         desc = describe_image(Image.decompress_path(path))
         assert "32×32" in desc and "chromaticity" in desc and "gamma" in desc
+
+
+def test_scalar_target_roundtrip():
+    import numpy as np
+    from swift_png_tpu.models import V
+    from swift_png_tpu.png.format import Format
+
+    rng = np.random.default_rng(4)
+    for kind in ("v8", "v16", "rgb8", "rgba8"):
+        fmt = Format(kind)
+        y, x = 4, 6
+        vals = rng.integers(0, 256, (y, x), dtype=np.uint8)
+        storage = V.of8.pack(vals, fmt)
+        back = V.of8.unpack(storage, fmt, (x, y))
+        assert (back == vals).all(), kind
