@@ -158,3 +158,57 @@ def filter_select(rows: np.ndarray, bpp: int) -> np.ndarray:
     out = np.empty((H, pitch + 1), np.uint8)
     lib.spt_filter_select(rows.ctypes.data, H, pitch, bpp, out.ctypes.data)
     return out
+
+
+def inflate_batch(datas: list[bytes], out_sizes, format: str = "zlib",
+                  threads: int = 0) -> list[bytes]:
+    """Decode independent streams on parallel native threads."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib, "_batch_ready"):
+        lib.spt_inflate_batch.restype = ctypes.c_int
+        lib.spt_inflate_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib._batch_ready = True
+    count = len(datas)
+    if isinstance(out_sizes, int):
+        out_sizes = [out_sizes] * count
+    outs = [np.empty(sz, np.uint8) for sz in out_sizes]
+    srcs = (ctypes.c_char_p * count)(*datas)
+    srclens = (ctypes.c_size_t * count)(*[len(d) for d in datas])
+    dsts = (ctypes.c_void_p * count)(*[o.ctypes.data for o in outs])
+    caps = (ctypes.c_size_t * count)(*out_sizes)
+    results = (ctypes.c_longlong * count)()
+    lib.spt_inflate_batch(srcs, srclens, dsts, caps, results, count,
+                          _FORMATS[format], threads)
+    decoded = []
+    for i in range(count):
+        if results[i] < 0:
+            raise NativeError(results[i])
+        if results[i] != out_sizes[i]:
+            raise NativeError(-6)
+        decoded.append(outs[i].tobytes())
+    return decoded
+
+
+def defilter_batch(rows: np.ndarray, bpp: int, threads: int = 0) -> np.ndarray:
+    """In-place parallel defilter of ``(B, H, 1+pitch)`` uint8 batches."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib, "_dfb_ready"):
+        lib.spt_defilter_batch.restype = ctypes.c_int
+        lib.spt_defilter_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib._dfb_ready = True
+    rows = np.ascontiguousarray(rows, np.uint8)
+    B, H, pitch1 = rows.shape
+    lib.spt_defilter_batch(rows.ctypes.data, B, H, pitch1 - 1, bpp, threads)
+    return rows[:, :, 1:]

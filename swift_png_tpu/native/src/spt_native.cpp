@@ -90,6 +90,15 @@ struct BitReader {
     int bits = 0;
 
     void refill() {
+        if (pos + 8 <= n) {  // branch-free bulk refill on the hot path
+            uint64_t w;
+            memcpy(&w, data + pos, 8);
+            acc |= w << bits;
+            int take = (63 - bits) >> 3;
+            pos += take;
+            bits += take * 8;
+            return;
+        }
         while (bits <= 56) {
             uint64_t b = pos < n ? data[pos] : 0;
             acc |= b << bits;
@@ -98,8 +107,11 @@ struct BitReader {
         }
     }
     uint32_t peek(int c) { refill(); return acc & ((1u << c) - 1); }
+    // no-refill variants for decoding a whole token from one refill
+    uint32_t peek_nf(int c) const { return acc & ((1u << c) - 1); }
     void drop(int c) { acc >>= c; bits -= c; }
     uint32_t read(int c) { uint32_t v = peek(c); drop(c); return v; }
+    uint32_t read_nf(int c) { uint32_t v = peek_nf(c); drop(c); return v; }
     void align() { int r = bits & 7; acc >>= r; bits -= r; }
     size_t byte_cursor() const { return pos - bits / 8; }
     bool overrun() const { return byte_cursor() > n + 8; }
@@ -251,7 +263,9 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
             uint32_t lit_mask = (1u << lit_max) - 1;
             uint32_t dist_mask = (1u << dist_max) - 1;
             for (;;) {
-                uint32_t e = lit_table[br.peek(lit_max) & lit_mask];
+                // one refill covers a whole token (≤ 48 bits < 56 available)
+                br.refill();
+                uint32_t e = lit_table[br.peek_nf(lit_max) & lit_mask];
                 int l = e >> 16;
                 if (!l) return SPT_E_TABLE;
                 int sym = e & 0xFFFF;
@@ -259,26 +273,60 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                 if (sym < 256) {
                     if (out >= dstcap) return SPT_E_OUTPUT;
                     dst[out++] = (uint8_t)sym;
-                } else if (sym == 256) {
+                    // literal fast path: decode more literals from the
+                    // same refill while enough bits remain
+                    while (br.bits >= lit_max) {
+                        e = lit_table[br.peek_nf(lit_max) & lit_mask];
+                        l = e >> 16;
+                        sym = e & 0xFFFF;
+                        if (!l || sym >= 256) break;
+                        br.drop(l);
+                        if (out >= dstcap) return SPT_E_OUTPUT;
+                        dst[out++] = (uint8_t)sym;
+                    }
+                    if (!l) return SPT_E_TABLE;
+                    if (sym < 256) {
+                        if (br.overrun()) return SPT_E_TRUNCATED;
+                        continue;
+                    }
+                    br.refill();
+                    e = lit_table[br.peek_nf(lit_max) & lit_mask];
+                    l = e >> 16;
+                    if (!l) return SPT_E_TABLE;
+                    sym = e & 0xFFFF;
+                    br.drop(l);
+                    if (sym < 256) {
+                        if (out >= dstcap) return SPT_E_OUTPUT;
+                        dst[out++] = (uint8_t)sym;
+                        if (br.overrun()) return SPT_E_TRUNCATED;
+                        continue;
+                    }
+                }
+                if (sym == 256) {
                     break;
                 } else {
                     if (sym > 285) return SPT_E_TABLE;
                     int d = sym - 257;
-                    uint32_t run = RUN_BASE[d] + br.read(RUN_EXTRA[d]);
-                    uint32_t de = dist_table[br.peek(dist_max) & dist_mask];
+                    uint32_t run = RUN_BASE[d] + br.read_nf(RUN_EXTRA[d]);
+                    uint32_t de = dist_table[br.peek_nf(dist_max) & dist_mask];
                     int dl = de >> 16;
                     if (!dl) return SPT_E_DISTANCE;
                     int dsym = de & 0xFFFF;
                     if (dsym > 29) return SPT_E_DISTANCE;
                     br.drop(dl);
-                    uint32_t dist = DIST_BASE[dsym] + br.read(DIST_EXTRA[dsym]);
+                    uint32_t dist = DIST_BASE[dsym] + br.read_nf(DIST_EXTRA[dsym]);
                     if (dist > out) return SPT_E_DISTANCE;
                     if (out + run > dstcap) return SPT_E_OUTPUT;
                     // forward byte copy handles overlap
                     // (LZ77.InflatorOut.swift:124-139)
                     uint8_t* p = dst + out;
                     const uint8_t* q = p - dist;
-                    for (uint32_t k = 0; k < run; k++) p[k] = q[k];
+                    if (dist >= 8 && out + run + 8 <= dstcap) {
+                        for (uint32_t k = 0; k < run; k += 8)
+                            memcpy(p + k, q + k, 8);
+                    } else {
+                        for (uint32_t k = 0; k < run; k++) p[k] = q[k];
+                    }
                     out += run;
                 }
                 if (br.overrun()) return SPT_E_TRUNCATED;
@@ -433,6 +481,68 @@ int spt_filter_select(const uint8_t* rows, int H, int pitch, int bpp,
         memcpy(o + 1, cand.data() + (size_t)best * pitch, pitch);
         prev = cur;
     }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// multithreaded batch entry points
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+// decode `count` independent streams in parallel; srcs/dsts are pointer
+// arrays, sizes in elements.  Returns 0 if every stream succeeded; the
+// per-stream results land in `results` (bytes written or negative error).
+int spt_inflate_batch(const uint8_t** srcs, const size_t* srclens,
+                      uint8_t** dsts, const size_t* dstcaps,
+                      long long* results, int count, int format,
+                      int threads) {
+    if (threads <= 0)
+        threads = (int)std::thread::hardware_concurrency();
+    if (threads > count) threads = count;
+    if (threads < 1) threads = 1;
+    std::vector<std::thread> pool;
+    std::atomic_int next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= count) return;
+            results[i] = spt_inflate(srcs[i], srclens[i], dsts[i],
+                                     dstcaps[i], format);
+        }
+    };
+    for (int t = 0; t < threads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    int ok = 0;
+    for (int i = 0; i < count; i++)
+        if (results[i] < 0) ok = -1;
+    return ok;
+}
+
+// parallel defilter over a batch of images laid out back to back
+int spt_defilter_batch(uint8_t* rows, int count, int H, int pitch, int bpp,
+                       int threads) {
+    if (threads <= 0)
+        threads = (int)std::thread::hardware_concurrency();
+    if (threads > count) threads = count;
+    if (threads < 1) threads = 1;
+    size_t stride = (size_t)H * (pitch + 1);
+    std::vector<std::thread> pool;
+    std::atomic_int next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= count) return;
+            spt_defilter(rows + stride * i, H, pitch, bpp);
+        }
+    };
+    for (int t = 0; t < threads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
     return 0;
 }
 

@@ -116,3 +116,27 @@ def test_sizes_reasonable_vs_stdlib():
     ours = len(native.deflate(data, 9, "zlib"))
     ref = len(zlib.compress(data, 9))
     assert ours < ref * 1.05, (ours, ref)
+
+
+def test_inflate_batch_threaded():
+    datas = [_sample(20000, seed=i, alphabet=200) for i in range(6)]
+    comps = [zlib.compress(d, 6) for d in datas]
+    out = native.inflate_batch(comps, [len(d) for d in datas], threads=4)
+    assert out == datas
+    # error in one stream surfaces
+    bad = list(comps)
+    bad[3] = bad[3][:-3]
+    with pytest.raises(native.NativeError):
+        native.inflate_batch(bad, [len(d) for d in datas])
+
+
+def test_defilter_batch_threaded():
+    from swift_png_tpu.ops.unfilter import defilter_reference
+
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, 256, (5, 12, 1 + 48), dtype=np.uint8)
+    rows[:, :, 0] = rng.integers(0, 5, (5, 12), dtype=np.uint8)
+    want = [defilter_reference(rows[i], 3) for i in range(5)]
+    got = native.defilter_batch(rows.copy(), 3, threads=2)
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], want[i])
