@@ -688,16 +688,21 @@ class NativeDeflator:
 
     def pop(self) -> bytes | None:
         avail = len(self._out) - self._cursor
-        if avail <= 0 or (not self._finished and avail < self.hint):
+        if avail <= 0:
             return None
-        take = min(avail, self.hint) if not self._finished else avail
+        take = min(avail, self.hint)
         out = self._out[self._cursor : self._cursor + take]
         self._cursor += take
         return out
 
     def pull(self) -> bytes:
-        out = self._out[self._cursor :]
-        self._cursor = len(self._out)
+        """Next ``hint``-sized chunk (the encoder loop calls repeatedly
+        until empty, producing reference-style IDAT chunking and staying
+        under the 2³¹−1 PNG chunk length limit)."""
+        avail = len(self._out) - self._cursor
+        take = min(avail, self.hint)
+        out = self._out[self._cursor : self._cursor + take]
+        self._cursor += take
         return out
 
 

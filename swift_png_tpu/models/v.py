@@ -41,11 +41,15 @@ class _VTarget(ColorTarget):
         channels = format.pixel.channels
         depth = format.pixel.depth
         if format.is_indexed:
+            # default indexer semantics: exact (v, v, v, opaque) entry or 0
+            # (``PNG.Image.swift:1142``); matches RGBA.pack's exact lookup
             lut = {}
-            for i, (r, g, b, a) in enumerate(format.palette):
-                lut.setdefault(r, i)
+            for i, entry in enumerate(format.palette):
+                lut.setdefault(tuple(int(x) for x in entry), i)
             small = (pixels >> (self.bits - 8)) if self.bits == 16 else pixels
-            return np.array([lut.get(int(v), 0) for v in small], np.uint8)
+            return np.array(
+                [lut.get((int(v), int(v), int(v), 255), 0) for v in small],
+                np.uint8)
         tmax = (1 << self.bits) - 1
         if channels == 1:
             values = pixels[:, None]

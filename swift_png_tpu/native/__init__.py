@@ -21,6 +21,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libspt_native.so")
 _lib = None
+_load_failed = False
 
 _ERRORS = {
     -1: "invalid_block_type", -2: "invalid_parity", -3: "invalid_table",
@@ -33,19 +34,23 @@ _FORMATS = {"zlib": 0, "ios": 1, "raw": 1, "gzip": 2}
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:  # decide the fallback once, not per call
+        return None
     if not os.path.exists(_LIB_PATH):
         from . import build as _build
 
         try:
             _build.build(verbose=False)
         except Exception:
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed = True
         return None
     lib.spt_crc32.restype = ctypes.c_uint32
     lib.spt_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,

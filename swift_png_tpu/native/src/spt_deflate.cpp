@@ -29,32 +29,31 @@ const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,
     9,9,10,10,11,11,12,12,13,13};
 const uint8_t CLO[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
+// decade tables built through C++11 magic statics (thread-safe once-init)
 int run_decade(int run) {
-    static int table[259];
-    static bool init = false;
-    if (!init) {
+    static const std::vector<int> table = [] {
+        std::vector<int> t(259, 0);
         for (int d = 0; d < 29; d++) {
             int base = RUN_BASE[d], span = 1 << RUN_EXTRA[d];
-            for (int r = base; r < base + span && r <= 258; r++) table[r] = d;
+            for (int r = base; r < base + span && r <= 258; r++) t[r] = d;
         }
-        table[258] = 28;
-        init = true;
-    }
+        t[258] = 28;
+        return t;
+    }();
     return table[run];
 }
 
 int dist_decade(int dist) {
-    static int table[32769];
-    static bool init = false;
-    if (!init) {
+    static const std::vector<int> table = [] {
+        std::vector<int> t(32769, 0);
         for (int d = 0; d < 30; d++) {
             int base = DIST_BASE[d];
             long span = 1L << DIST_EXTRA[d];
             for (long x = base; x < base + span && x <= 32768; x++)
-                table[x] = d;
+                t[x] = d;
         }
-        init = true;
-    }
+        return t;
+    }();
     return table[dist];
 }
 
@@ -361,7 +360,6 @@ Params search_parameters(int level) {
     return table[level];
 }
 
-size_t BLOCK_TERMS = 16384;
 const size_t GRAPH_NODES = 16384;
 
 void optimal_parse(const uint8_t* data, size_t start, size_t stop, size_t n,
@@ -434,7 +432,10 @@ long long spt_deflate_blocks(const uint8_t* src, size_t n, uint8_t* dst,
                              size_t dstcap, int level, int format,
                              long block_terms) {
     Params par = search_parameters(level);
-    BLOCK_TERMS = block_terms > 0 ? (size_t)block_terms : 16384;
+    // per-call block budget (no mutable global: the batch entry
+    // points run deflate on concurrent threads)
+    const size_t BLOCK_TERMS = block_terms > 0 ? (size_t)block_terms
+                                               : 16384;
     BitWriter bw;
     if (format == 0) {
         uint8_t cmf = 0x78;

@@ -371,7 +371,8 @@ long long spt_inflate(const uint8_t* src, size_t srclen, uint8_t* dst,
         size_t off = 10;
         if (flags & 0x04) {
             if (off + 2 > srclen) return SPT_E_TRUNCATED;
-            off += 2 + (src[off] | src[off + 1] << 8);
+            off += 2 + (size_t)(src[off] | src[off + 1] << 8);
+            if (off > srclen) return SPT_E_TRUNCATED;
         }
         for (int s = 0; s < 2; s++) {
             if (flags & (s == 0 ? 0x08 : 0x10)) {
@@ -380,6 +381,7 @@ long long spt_inflate(const uint8_t* src, size_t srclen, uint8_t* dst,
                 off++;
             }
         }
+        if (off > srclen) return SPT_E_TRUNCATED;
         size_t used = 0;
         long long n = spt_inflate_raw(src + off, srclen - off, dst, dstcap,
                                       &used);

@@ -39,7 +39,7 @@ import numpy as np
 from ..lz77 import constants as C
 from ..lz77.checksums import adler32
 from ..lz77.errors import DecompressionError
-from ..lz77.inflate import RawInflator
+from ..lz77.inflate import RawInflator, _Starved
 
 __all__ = ["inflate", "inflate_blocks"]
 
@@ -177,8 +177,10 @@ def inflate_blocks(data: bytes, out_size: int) -> np.ndarray:
            | D[3:nbytes + 4].astype(np.uint32) << 24)
     # pad W32 so any power-of-two window slice stays fully in bounds at any
     # start byte (lax.dynamic_slice clamps out-of-range starts, which would
-    # silently shift the window)
-    max_words = _pow2_at_least(W32.size, 1 << 10, 1 << 62)
+    # silently shift the window).  max_words must exceed the stream by the
+    # window's 56-bit safety margin, or valid blocks whose EOB falls within
+    # the last few bytes of a power-of-two-sized stream become undecodable.
+    max_words = _pow2_at_least(W32.size + 16, 1 << 10, 1 << 62)
     W32 = np.concatenate(
         [W32, np.zeros(2 * max_words - W32.size, np.uint32)])
     W32_dev = jnp.asarray(W32)
@@ -189,12 +191,15 @@ def inflate_blocks(data: bytes, out_size: int) -> np.ndarray:
     luts: dict[tuple, tuple] = {}
 
     while not walker.done:
-        walker._read_block_header()
+        try:
+            walker._read_block_header()
+        except _Starved:
+            raise DecompressionError.invalid_stream_checksum(0, 0) from None
         if walker._stored is not None:
             final, end = walker._stored
             length = end  # walker.out stays empty, so end == block length
             start = walker.bitpos >> 3
-            if base + length > out_size:
+            if base + length > out_size or start + length > nbytes:
                 raise DecompressionError.invalid_stream_checksum(0, 0)
             seg = np.frombuffer(data, np.uint8, length, start)
             lit[base:base + length] = seg

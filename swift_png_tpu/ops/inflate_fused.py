@@ -511,6 +511,13 @@ class InflateFused:
 
         win = self.win_bytes
         t_max = self.t_max
+        # valid single blocks may span the whole stream and carry up to
+        # out_size+1 tokens — the retry ceilings must cover both, or valid
+        # data gets mislabeled corrupt
+        from .inflate import _pow2_at_least
+
+        win_cap = _pow2_at_least(len(body) + 16, 1 << 12, 1 << 30)
+        t_cap_pow = _pow2_at_least(out_size + 1, 1 << 10, 1 << 30)
         while True:
             D = self._prepare(body, win)
             out, status, end_bit, adler = inflate_fused(
@@ -519,10 +526,9 @@ class InflateFused:
             status = int(status)
             if status == OK:
                 return out, int(adler)
-            if status & F_OVERFLOW and (win < (1 << 22) or
-                                        t_max < (1 << 20)):
-                win = min(win * 4, 1 << 22)
-                t_max = min(t_max * 4, 1 << 20)
+            if status & F_OVERFLOW and (win < win_cap or t_max < t_cap_pow):
+                win = min(win * 4, win_cap)
+                t_max = min(t_max * 4, t_cap_pow)
                 continue
             if status & F_BAD_BLOCK:
                 raise DecompressionError.invalid_block_type_code(3)
