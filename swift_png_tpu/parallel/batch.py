@@ -49,11 +49,22 @@ def decode_stage(filtered: jnp.ndarray, *, delay: int, depth: int,
                  key: jnp.ndarray | None = None,
                  bits: int = 8) -> jnp.ndarray:
     """Device decode: ``(B, H, 1+pitch)`` filtered scanlines → ``(B, H, W, 4)``
-    RGBA pixels.  XLA fuses the wavefront defilter with the convolve."""
+    RGBA pixels.  XLA fuses the wavefront defilter with the convolve.
+
+    ``palette``/``key`` are *per-image*: ``(B, n, 4)`` and ``(B, channels)``
+    — images in one shape bucket may carry different palettes and chroma
+    keys (a key of −1 never matches any raw sample)."""
     rows = defilter_batch(filtered, delay)
+    if is_indexed:
+        return jax.vmap(lambda r, p: convolve.unpack_rgba(
+            r, depth=depth, channels=channels, width=width,
+            is_indexed=True, palette=p, bits=bits))(rows, palette)
+    if has_key:
+        return jax.vmap(lambda r, k: convolve.unpack_rgba(
+            r, depth=depth, channels=channels, width=width, is_bgr=is_bgr,
+            has_key=True, key=k, bits=bits))(rows, key)
     return jax.vmap(lambda r: convolve.unpack_rgba(
         r, depth=depth, channels=channels, width=width, is_bgr=is_bgr,
-        is_indexed=is_indexed, has_key=has_key, palette=palette, key=key,
         bits=bits))(rows)
 
 
@@ -187,10 +198,15 @@ class BatchCodec:
                         transparency=transparency, standard=standard,
                         interlaced=header.interlaced)
             if info is None:
-                info = this
+                info = dict(this)
+                info["palettes"] = []
+                info["transparencies"] = []
             elif (info["size"], info["pixel"].name) != (this["size"],
                                                         this["pixel"].name):
                 raise ValueError("batch images must share size and format")
+            # palettes and chroma keys are per-image even within one bucket
+            info["palettes"].append(palette)
+            info["transparencies"].append(transparency)
         stack = jnp.stack(batch) if keep_on_device else np.stack(batch)
         return stack, info
 
@@ -208,23 +224,31 @@ class BatchCodec:
         W, H = info["size"]
         pixel = info["pixel"]
         delay = (pixel.volume + 7) >> 3
-        palette = info["palette"]
-        transparency = info["transparency"]
         pal_arr = key_arr = None
         is_indexed = pixel.is_indexed
+        B = len(images_png)
         if is_indexed:
-            alphas = list(transparency.value) if transparency else []
-            pal = np.array(
-                [(r, g, b, alphas[i] if i < len(alphas) else 255)
-                 for i, (r, g, b) in enumerate(palette.entries)], np.int32)
-            pal_arr = jnp.asarray(pal)
-        elif transparency is not None:
-            # chroma key in raw sample units (PNG.RGBA.swift:259-366)
-            if transparency.case == "v":
-                key_arr = jnp.asarray(
-                    np.array([transparency.value], np.int32))
-            else:
-                key_arr = jnp.asarray(np.array(transparency.value, np.int32))
+            # per-image palettes with tRNS alpha folded, padded to 256
+            pals = np.zeros((B, 256, 4), np.int32)
+            for b, (palette, transparency) in enumerate(
+                    zip(info["palettes"], info["transparencies"])):
+                alphas = list(transparency.value) if transparency else []
+                for i, (r, g, bb) in enumerate(palette.entries):
+                    pals[b, i] = (r, g, bb,
+                                  alphas[i] if i < len(alphas) else 255)
+            pal_arr = jnp.asarray(pals)
+        elif any(t is not None for t in info["transparencies"]):
+            # per-image chroma key in raw sample units; −1 never matches
+            # (PNG.RGBA.swift:259-366)
+            keys = np.full((B, pixel.channels), -1, np.int32)
+            for b, transparency in enumerate(info["transparencies"]):
+                if transparency is None:
+                    continue
+                if transparency.case == "v":
+                    keys[b, 0] = transparency.value
+                else:
+                    keys[b] = transparency.value
+            key_arr = jnp.asarray(keys)
         from ..png.format import IOS
 
         # CgBI streams store bgr8/bgra8 byte order (PNG.Format.swift:
@@ -239,11 +263,20 @@ class BatchCodec:
             samples = jax.vmap(lambda f: deinterlace_samples(
                 f, size=(W, H), depth=pixel.depth,
                 channels=pixel.channels))(flat)
-            out = jax.vmap(lambda s: samples_to_rgba(
-                s, depth=pixel.depth, channels=pixel.channels,
-                is_bgr=is_bgr, is_indexed=is_indexed, palette=pal_arr,
-                has_key=key_arr is not None, key=key_arr,
-                bits=bits))(samples)
+            if is_indexed:
+                out = jax.vmap(lambda s, p: samples_to_rgba(
+                    s, depth=pixel.depth, channels=pixel.channels,
+                    is_indexed=True, palette=p,
+                    bits=bits))(samples, pal_arr)
+            elif key_arr is not None:
+                out = jax.vmap(lambda s, k: samples_to_rgba(
+                    s, depth=pixel.depth, channels=pixel.channels,
+                    is_bgr=is_bgr, has_key=True, key=k,
+                    bits=bits))(samples, key_arr)
+            else:
+                out = jax.vmap(lambda s: samples_to_rgba(
+                    s, depth=pixel.depth, channels=pixel.channels,
+                    is_bgr=is_bgr, bits=bits))(samples)
         else:
             out = decode_stage(
                 filtered if keep_on_device else self._shard(

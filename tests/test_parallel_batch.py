@@ -154,3 +154,21 @@ def test_batch_decode_ios_cgbi():
         want = Image.decompress_bytes(data).unpack_rgba8()
         np.testing.assert_array_equal(got[0], want, err_msg=name)
         np.testing.assert_array_equal(got[1], want, err_msg=name)
+
+
+def test_full_corpus_through_device_path():
+    """Every valid PngSuite file decodes bit-exact through the device path
+    (fused inflate + wavefront defilter / Adam7 deinterlace + convolve)."""
+    if not os.path.isdir(CORPUS):
+        pytest.skip("reference corpus unavailable")
+    from swift_png_tpu.parallel.corpus import CorpusDecoder
+
+    names = sorted(os.listdir(CORPUS))
+    datas = [open(os.path.join(CORPUS, n), "rb").read() for n in names]
+    results = CorpusDecoder(batch_size=8).decode(datas, bits=16)
+    bad = []
+    for name, data, got in zip(names, datas, results):
+        want = Image.decompress_bytes(data).unpack_rgba16()
+        if not np.array_equal(got, want):
+            bad.append(name)
+    assert not bad, bad
