@@ -109,13 +109,16 @@ def pack_bits(lanes: jnp.ndarray, nbits: jnp.ndarray, valid: jnp.ndarray):
       valid: mask of live terms.
 
     Returns:
-      ``(atoms (2n+8,) int32 of 16 bits each, total_bits)``.
+      ``(atoms (3n+8,) int32 of 16 bits each, total_bits)``.
     """
     n = nbits.shape[0]
     nb = jnp.where(valid, nbits, 0)
     offs = jnp.cumsum(nb) - nb
     total = jnp.sum(nb)
-    natoms = 2 * n + 8
+    # terms carry up to 48 bits, so the data atoms can reach index 3n + 3;
+    # size for the worst case and keep the dead-lane sink strictly beyond
+    # every reachable data atom so zeroing it never drops live bits
+    natoms = 3 * n + 8
     atoms = jnp.zeros(natoms, jnp.int32)
     a0 = offs >> 4
     sub = offs & 15
@@ -258,8 +261,12 @@ def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
         pair = jnp.zeros(N, dtype=bool)
         run_n = dist_n = best_run  # unused
         step = jnp.where(take, best_run, 1)
-    nxt = jnp.minimum(pos + step, N - 1).astype(jnp.int32)
+    # past-the-end targets become fixed points at their own position so the
+    # parse path never re-enters live data (callers guarantee N > n, but a
+    # clamp to N-1 would otherwise alias a live position when n == N)
+    nxt = jnp.where(pos + step >= n, pos, pos + step).astype(jnp.int32)
     nxt = jnp.where(pos >= n, pos, nxt)
+    nxt = jnp.minimum(nxt, N - 1)
 
     ranks = jnp.arange(t_cap, dtype=jnp.int32)
 

@@ -152,6 +152,9 @@ def _parse_dynamic(W32, bitpos):
     hlit = (w & 31) + 257
     hdist = ((w >> 5) & 31) + 1
     hclen = ((w >> 10) & 15) + 4
+    # RFC 1951 caps: hlit ≤ 286, hdist ≤ 30 — rejected up front so all
+    # three engines agree on accept/reject (host: lz77/inflate.py)
+    hdr_bad = (hlit > 286) | (hdist > 30)
     pos = bitpos + 14
     i = jnp.arange(19)
     mvals = (_peek(W32, pos + 3 * i) & 7).astype(jnp.int32)
@@ -235,7 +238,7 @@ def _parse_dynamic(W32, bitpos):
     end_pos = start_byte * 8 + P[last_rank] + (
         l[P[last_rank]] + extra[P[last_rank]])
     end_pos = jnp.where(m_count > 0, end_pos, pos)
-    return end_pos, lit_lengths, dist_lengths, bad
+    return end_pos, lit_lengths, dist_lengths, bad | hdr_bad
 
 
 def _decode_window(Wwin, p0, lit_params, dist_params, t_max):
@@ -551,6 +554,11 @@ class InflateFused:
         from ..lz77.errors import DecompressionError, StreamHeaderError
 
         if format == "zlib":
+            if len(data) < 6:
+                # 2-byte header + 4-byte Adler trailer minimum — keep the
+                # typed taxonomy instead of a bare IndexError (host parity:
+                # ops/inflate.py zlib entry)
+                raise DecompressionError.invalid_stream_checksum(0, 0)
             cmf, flg = data[0], data[1]
             if cmf & 0x0F != 0x08:
                 raise StreamHeaderError.invalid_compression_method(cmf & 0x0F)
@@ -629,6 +637,12 @@ class InflateFusedBatch(InflateFused):
         win = self.win_bytes
         t_max = self.t_max
         nmax = max(len(b) for b in bodies)
+        # same retry ceilings as InflateFused.run: a valid single block can
+        # span the longest stream and carry up to out_size + 1 tokens
+        from .inflate import _pow2_at_least
+
+        win_cap = _pow2_at_least(nmax + 16, 1 << 12, 1 << 30)
+        t_cap_pow = _pow2_at_least(out_size + 1, 1 << 10, 1 << 30)
         while True:
             bucket = 1 << max(12, (nmax + win + 8 - 1).bit_length())
             Ds = np.zeros((len(bodies), bucket), np.uint8)
@@ -641,10 +655,10 @@ class InflateFusedBatch(InflateFused):
             st = np.asarray(status)
             if (st == OK).all():
                 return out, np.asarray(adler)
-            if (st & F_OVERFLOW).any() and (win < (1 << 22)
-                                            or t_max < (1 << 20)):
-                win = min(win * 4, 1 << 22)
-                t_max = min(t_max * 4, 1 << 20)
+            if (st & F_OVERFLOW).any() and (win < win_cap
+                                            or t_max < t_cap_pow):
+                win = min(win * 4, win_cap)
+                t_max = min(t_max * 4, t_cap_pow)
                 continue
             raise DecompressionError.invalid_huffman_table()
 

@@ -155,3 +155,41 @@ def test_lazy_not_worse_than_greedy():
     lazy = dev.deflate_device(data, level=6)
     assert zlib.decompress(lazy) == data
     assert len(lazy) <= len(greedy) * 1.02
+
+
+def test_deflate_device_power_of_two_input():
+    # regression: a match ending exactly at n == buffer size N used to
+    # clamp the jump target to N-1 and emit a spurious trailing literal
+    rng = np.random.default_rng(7)
+    half = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    data = half + half  # 4096 bytes, ends with a 2048-distance match
+    out = dev.deflate_device(data, level=6)
+    assert zlib.decompress(out) == data
+    # control: one byte short of the boundary
+    out2 = dev.deflate_device(data[:-1], level=6)
+    assert zlib.decompress(out2) == data[:-1]
+
+
+def test_pack_bits_match_heavy_no_truncation():
+    # regression: natoms = 2n+8 silently dropped bits when terms averaged
+    # more than 32 bits; 48-bit terms need 3n atoms
+    n = 64
+    nbits = np.full(n, 48, np.int32)
+    rng = np.random.default_rng(1)
+    patterns = [int(rng.integers(0, 1 << 48)) for _ in range(n)]
+    bw = BitWriter()
+    for p in patterns:
+        bw.write(p & 0xFFFF, 16)
+        bw.write((p >> 16) & 0xFFFF, 16)
+        bw.write((p >> 32) & 0xFFFF, 16)
+    bw.pad_to_byte()
+    want = bytes(bw.drain())
+    lanes = np.zeros((4, n), np.int32)
+    for i, p in enumerate(patterns):
+        for j in range(4):
+            lanes[j, i] = (p >> (16 * j)) & 0xFFFF
+    atoms, total = dev.pack_bits(jnp.asarray(lanes), jnp.asarray(nbits),
+                                 jnp.ones(n, bool))
+    got = dev.atoms_to_bytes(np.asarray(atoms), int(total))
+    assert int(total) == 48 * n
+    assert got == want[:len(got)]

@@ -188,3 +188,50 @@ def test_gzip_container():
     bad[-5] ^= 0xFF
     with pytest.raises(DecompressionError):
         ENGINE.inflate(bytes(bad), len(data), "gzip")
+
+
+def test_short_zlib_input_typed_error():
+    from swift_png_tpu.lz77.errors import DecompressionError
+    eng = InflateFused()
+    with pytest.raises(DecompressionError):
+        eng.inflate(b"\x78", out_size=0, format="zlib")
+    with pytest.raises(DecompressionError):
+        eng.inflate(b"", out_size=0, format="zlib")
+
+
+def test_hlit_overflow_rejected():
+    # hlit = 287 (> RFC 1951 max 286) must be rejected up front like the
+    # host and native engines, not only if symbol 286/287 appears
+    from swift_png_tpu.lz77.errors import DecompressionError
+    from swift_png_tpu.utils.bits import BitWriter
+
+    bw = BitWriter()
+    bw.write(1, 1)   # final
+    bw.write(2, 2)   # dynamic
+    bw.write(30, 5)  # hlit = 287
+    bw.write(0, 5)   # hdist = 1
+    bw.write(15, 4)  # hclen = 19
+    for _ in range(19):
+        bw.write(1, 3)  # all meta code lengths = 1 (invalid tree too)
+    bw.pad_to_byte()
+    body = bytes(bw.drain()) + b"\x00" * 64
+    eng = InflateFused()
+    with pytest.raises(DecompressionError):
+        eng.run(body, 4)
+
+
+def test_run_batch_large_single_block():
+    # regression: run_batch used fixed retry ceilings instead of scaling
+    # with the stream like run(); a single large block must still decode
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 64, 1 << 18, dtype=np.uint8).tobytes()
+    d = Deflator(level=4)
+    d.push(base, last=True)
+    stream = d.pull()
+    from swift_png_tpu.ops.inflate_fused import InflateFusedBatch
+
+    eng = InflateFusedBatch(win_bytes=1 << 12, t_max=1 << 10)
+    out = eng.inflate_batch([stream, stream], len(base),
+                            keep_on_device=False)
+    assert bytes(np.asarray(out[0])) == base
+    assert bytes(np.asarray(out[1])) == base
