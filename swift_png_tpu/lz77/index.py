@@ -56,6 +56,7 @@ class CheckpointIndex:
     lit_lengths: np.ndarray    # (288,) uint8 — literal/run code lengths
     dist_lengths: np.ndarray   # (32,) uint8 — distance code lengths
     end_bit: int               # bit position after the EOB token
+    match_bytes: int = 0       # total bytes produced by match tokens
 
     @property
     def units(self) -> int:
@@ -230,6 +231,7 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
     unit_end = ob
     bit_pos[0] = pos
     toks = 0
+    match_bytes = 0
     nbits = len(body) * 8
     while True:
         if pos + 15 > nbits and pos + 1 > nbits:
@@ -260,6 +262,10 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
             db = int(dist_extra[dsym])
             if pos + ln + eb + dln + db > nbits:
                 raise DecompressionError.invalid_huffman_table()
+            dist = int(dist_base[dsym]) + ((w2 >> dln) & ((1 << db) - 1))
+            if dist > o:
+                raise DecompressionError.invalid_string_reference()
+            match_bytes += run
             tpos, tlen = pos, run
             pos += ln + eb + dln + db
         toks += 1
@@ -289,4 +295,5 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
     return CheckpointIndex(
         ob=ob, out_size=out_size, bit_pos=bit_pos, skip=skip,
         n_tokens=n_tokens, lit_lengths=lit_lengths.astype(np.uint8),
-        dist_lengths=dist_lengths.astype(np.uint8), end_bit=pos)
+        dist_lengths=dist_lengths.astype(np.uint8), end_bit=pos,
+        match_bytes=match_bytes)

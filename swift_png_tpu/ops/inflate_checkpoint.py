@@ -220,9 +220,13 @@ def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
         jnp.any((ptr.reshape(U, ob) < (j - j % Opad)) & valid, axis=1),
         F_BAD, 0)
     flag = flag | jnp.where(jnp.any(live & ~covered, axis=1), F_BAD, 0)
+    return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap)
 
+
+def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap):
+    """Shared tail: compacted pointer-doubling expansion + Adler-32."""
+    N = ptr.shape[0]
     # ---- expansion: compacted pointer doubling ------------------------
-    N = U * ob
     is_m = (ptr != jnp.arange(N, dtype=jnp.int32))
     cidx = jnp.nonzero(is_m, size=expand_cap, fill_value=N)[0]
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
@@ -251,6 +255,55 @@ def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
     return out, flag, adler, ovf
 
 
+@functools.partial(jax.jit, static_argnames=("ob", "n_streams", "out_size",
+                                             "expand_cap", "k_max", "S",
+                                             "tiles_per_stream",
+                                             "interpret"))
+def inflate_indexed_pallas(spans3, meta, params, lit_attr, dist_attr, *,
+                           ob: int, n_streams: int, out_size: int,
+                           expand_cap: int, k_max: int, S: int,
+                           tiles_per_stream: int, interpret: bool = False):
+    """Indexed inflate with the Pallas decode+stamp kernel.
+
+    Same contract as :func:`inflate_indexed`; the token decode and
+    token→byte attribution run in one VMEM kernel
+    (``inflate_pallas.decode_stamp_pallas``), leaving only the
+    back-reference expansion and checksum to XLA.
+    """
+    from .inflate_pallas import decode_stamp_pallas
+
+    B = n_streams
+    attr4, kflag = decode_stamp_pallas(
+        spans3, meta, params, lit_attr, dist_attr, S=S, ob=ob,
+        k_max=k_max, tiles_per_stream=tiles_per_stream,
+        interpret=interpret)
+    U = attr4.shape[0] * attr4.shape[1] * 128
+    Ui = U // B
+    Opad = Ui * ob
+    # (T, TUR, ob, 128) → unit-major (U, ob)
+    attr = jnp.transpose(attr4, (0, 1, 3, 2)).reshape(U, ob)
+    flag = kflag.reshape(U)
+
+    b = jnp.arange(ob, dtype=jnp.int32)[None, :]
+    ustart = jnp.arange(U, dtype=jnp.int32)[:, None] * ob
+    j = ustart + b
+    live = (j % Opad) < out_size
+    ism_b = attr > 0
+    covered = attr != 0
+    litv = jnp.where(live & (attr < 0), -attr - 1, 0
+                     ).reshape(-1).astype(jnp.uint8)
+    ptr = jnp.where(live & ism_b, j - attr, j).reshape(-1)
+    flag = flag | jnp.where(
+        jnp.any((ptr.reshape(U, ob) < (j - j % Opad)) & live & ism_b,
+                axis=1), F_BAD, 0)
+    flag = flag | jnp.where(jnp.any(live & ~covered, axis=1), F_BAD, 0)
+    # inactive padding units report coverage flags only for live bytes —
+    # mask their kernel coverage flag when they own no live bytes
+    n_live = jnp.sum(live.astype(jnp.int32), axis=1)
+    flag = jnp.where(n_live == 0, 0, flag)
+    return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap)
+
+
 class CheckpointInflator:
     """Host wrapper: span slicing, bucketing, verification.
 
@@ -260,7 +313,13 @@ class CheckpointInflator:
     engines (``InflateFused`` / host / native tiers).
     """
 
-    def __init__(self, ob: int = 1024):
+    def __init__(self, ob: int = 1024, backend: str = "auto"):
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() not in (
+                "cpu",) else "xla"
+        self.backend = backend
+        if backend == "pallas" and ob % 128 != 0:
+            raise ValueError("pallas backend needs ob % 128 == 0")
         self.ob = ob
 
     @staticmethod
@@ -272,59 +331,113 @@ class CheckpointInflator:
 
     def prepare(self, bodies: list[bytes], indexes: list[CheckpointIndex]):
         """Slice per-unit spans to a dense device layout (host memcpy)."""
+        from .inflate_pallas import TUB, prepare_tables
+
+        pallas = self.backend == "pallas"
         out_size = indexes[0].out_size
         ob = indexes[0].ob
         Ui = (out_size + ob - 1) // ob
+        if pallas:
+            Ui_pad = -(-Ui // TUB) * TUB  # stream tiles never split
+        else:
+            Ui_pad = Ui
         B = len(bodies)
         span_bytes = max(ix.max_span_bytes() for ix in indexes)
-        S = self._pow2((span_bytes + 3) // 4, 16)
-        U = B * Ui
+        if pallas:
+            S = -(-((span_bytes + 3) // 4) // 32) * 32  # exact-ish width
+        else:
+            S = self._pow2((span_bytes + 3) // 4, 16)
+        U = B * Ui_pad
         spans = np.zeros((U, S * 4), np.uint8)
         sub0 = np.zeros(U, np.int32)
         n_tokens = np.zeros(U, np.int32)
         skip = np.zeros(U, np.int32)
+        owned = np.zeros(U, np.int32)
         lit = np.zeros((B, 288), np.int32)
         dist = np.zeros((B, 32), np.int32)
         for i, (body, ix) in enumerate(zip(bodies, indexes)):
             assert ix.out_size == out_size and ix.ob == ob
             sb = (ix.bit_pos >> 3).astype(np.int64)
             buf = np.frombuffer(body, np.uint8)
+            base = i * Ui_pad
             for u in range(Ui):
                 s = int(sb[u])
                 e = min(len(buf), s + S * 4)
-                spans[i * Ui + u, : e - s] = buf[s:e]
-            sub0[i * Ui: (i + 1) * Ui] = (
+                spans[base + u, : e - s] = buf[s:e]
+            sub0[base: base + Ui] = (
                 ix.bit_pos - (sb << 3).astype(np.uint64)).astype(np.int32)
-            n_tokens[i * Ui: (i + 1) * Ui] = ix.n_tokens
-            skip[i * Ui: (i + 1) * Ui] = ix.skip
+            n_tokens[base: base + Ui] = ix.n_tokens
+            skip[base: base + Ui] = ix.skip
+            owned[base: base + Ui] = np.minimum(
+                ob, out_size - np.arange(Ui) * ob)
             lit[i] = ix.lit_lengths
             dist[i] = ix.dist_lengths
         spans32 = spans.reshape(U, S, 4).astype(np.uint32)
         spans_w = (spans32[:, :, 0] | spans32[:, :, 1] << 8
                    | spans32[:, :, 2] << 16 | spans32[:, :, 3] << 24)
-        k_max = self._pow2(int(n_tokens.max()) + 1, 64)
-        return dict(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),
-                    n_tokens=jnp.asarray(n_tokens), skip=jnp.asarray(skip),
-                    lit=jnp.asarray(lit), dist=jnp.asarray(dist),
-                    k_max=k_max, out_size=out_size, ob=ob, B=B)
+        prep = dict(out_size=out_size, ob=ob, B=B, Ui_pad=Ui_pad, S=S)
+        if pallas:
+            Ur = U // 128
+            T = U // TUB
+            # transposed span layout: units on lanes, words on sublanes
+            prep["spans3"] = jnp.asarray(np.ascontiguousarray(
+                spans_w.reshape(T, TUB // 128, 128, S).transpose(0, 1, 3, 2)))
+            prep["meta"] = jnp.asarray(
+                np.stack([sub0, skip, owned]).reshape(3, Ur, 128))
+            tabs = [prepare_tables(lit[i], dist[i]) for i in range(B)]
+
+            def pad8(rows):
+                a = np.stack(rows)  # (B, W)
+                out = np.zeros((B, 8, a.shape[1]), np.int32)
+                out[:, 0, :] = a
+                return jnp.asarray(out)
+
+            def lanes(rows, n):
+                a = np.stack(rows)[:, :n]  # (B, n)
+                return jnp.asarray(np.repeat(a[:, :, None], 128, axis=2))
+
+            prep["params"] = pad8([t[0] for t in tabs])
+            prep["lit_attr"] = lanes([t[1] for t in tabs], 384)
+            prep["dist_attr"] = lanes([t[2] for t in tabs], 32)
+            prep["tiles_per_stream"] = Ui_pad // TUB
+            prep["k_max"] = -(-(int(n_tokens.max()) + 1) // 16) * 16
+        else:
+            prep.update(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),
+                        n_tokens=jnp.asarray(n_tokens),
+                        skip=jnp.asarray(skip), lit=jnp.asarray(lit),
+                        dist=jnp.asarray(dist),
+                        k_max=self._pow2(int(n_tokens.max()) + 1, 64))
+        return prep
 
     def run(self, bodies: list[bytes], indexes: list[CheckpointIndex],
             keep_on_device: bool = True):
         from ..lz77.errors import DecompressionError
 
         prep = self.prepare(bodies, indexes)
-        expand_cap = self._pow2(
-            max(1, prep["B"] * ((prep["out_size"] + prep["ob"] - 1)
-                                // prep["ob"]) * prep["ob"] // 4), 1 << 10)
+        cap_max = prep["B"] * prep["Ui_pad"] * prep["ob"]
+        # the index knows the exact match-byte population (= the compacted
+        # expansion set), so the expansion buffers are sized tightly
+        match_total = sum(int(ix.match_bytes) for ix in indexes)
+        expand_cap = min(self._pow2(match_total + 64, 1 << 10),
+                         self._pow2(cap_max))
+        interpret = jax.default_backend() == "cpu"
         while True:
-            out, flag, adler, ovf = inflate_indexed(
-                prep["spans"], prep["sub0"], prep["n_tokens"], prep["skip"],
-                prep["lit"], prep["dist"], ob=prep["ob"],
-                n_streams=prep["B"], out_size=prep["out_size"],
-                expand_cap=expand_cap, k_max=prep["k_max"])
+            if self.backend == "pallas":
+                out, flag, adler, ovf = inflate_indexed_pallas(
+                    prep["spans3"], prep["meta"], prep["params"],
+                    prep["lit_attr"], prep["dist_attr"], ob=prep["ob"],
+                    n_streams=prep["B"], out_size=prep["out_size"],
+                    expand_cap=expand_cap, k_max=prep["k_max"],
+                    S=prep["S"],
+                    tiles_per_stream=prep["tiles_per_stream"],
+                    interpret=interpret)
+            else:
+                out, flag, adler, ovf = inflate_indexed(
+                    prep["spans"], prep["sub0"], prep["n_tokens"],
+                    prep["skip"], prep["lit"], prep["dist"], ob=prep["ob"],
+                    n_streams=prep["B"], out_size=prep["out_size"],
+                    expand_cap=expand_cap, k_max=prep["k_max"])
             if bool(ovf):
-                cap_max = prep["B"] * ((prep["out_size"] + prep["ob"] - 1)
-                                       // prep["ob"]) * prep["ob"]
                 if expand_cap >= cap_max:
                     raise DecompressionError.invalid_huffman_table()
                 expand_cap = min(expand_cap * 4, self._pow2(cap_max))

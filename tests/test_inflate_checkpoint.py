@@ -121,3 +121,28 @@ def test_bad_checksum_raises():
     with pytest.raises(DecompressionError):
         eng.inflate_zlib_batch([bytes(stream)], len(data),
                                keep_on_device=False)
+
+
+@pytest.mark.parametrize("name,data", payloads())
+def test_pallas_backend_bit_exact(name, data):
+    # interpret-mode Pallas kernel on CPU: same contract as the XLA path
+    data = data[:20_000]
+    stream = one_block_zlib(data)
+    eng = CheckpointInflator(ob=512, backend="pallas")
+    out = eng.inflate_zlib_batch([stream], len(data), keep_on_device=False)
+    assert out is not None, f"{name}: fast path refused"
+    assert bytes(out[0]) == data, name
+
+
+def test_pallas_backend_batch():
+    rng = np.random.default_rng(11)
+    n = 10_000
+    datas, streams = [], []
+    for i in range(2):
+        d = rng.integers(0, 50 + 40 * i, n, dtype=np.uint8).tobytes()
+        datas.append(d)
+        streams.append(one_block_zlib(d))
+    eng = CheckpointInflator(ob=512, backend="pallas")
+    out = eng.inflate_zlib_batch(streams, n, keep_on_device=False)
+    for i in range(2):
+        assert bytes(out[i]) == datas[i], i
