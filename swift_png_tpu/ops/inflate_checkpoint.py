@@ -223,12 +223,88 @@ def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
     return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap)
 
 
+def _cumsum_mxu(x):
+    """Exact prefix sum of a 0/1 int32 vector via a triangular matmul.
+
+    XLA's native cumsum lowers to a long reduce-window chain; one
+    (N/512, 512) × (512, 512) f32 matmul does the intra-block scan on the
+    MXU instead (exact: counts stay < 2^24).  The inter-block offsets are
+    a tiny host-size cumsum.
+    """
+    N = x.shape[0]
+    BS = 512
+    nb = (N + BS - 1) // BS
+    xp = jnp.pad(x, (0, nb * BS - N)).reshape(nb, BS).astype(jnp.float32)
+    tri = (jnp.arange(BS)[:, None] <= jnp.arange(BS)[None, :]).astype(
+        jnp.float32)
+    intra = jax.lax.dot_general(
+        xp, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tot = intra[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (intra + offs[:, None]).reshape(-1)[:N].astype(jnp.int32)
+
+
+def _mod65521(x):
+    """``x % 65521`` for 0 ≤ x < 2^31 without integer division.
+
+    Quotient via f32 reciprocal multiply, then two conditional
+    adjustments absorb the f32 rounding (|q error| ≤ 1).
+    """
+    q = jnp.floor(x.astype(jnp.float32) * (1.0 / 65521.0)).astype(jnp.int32)
+    r = x - q * 65521
+    r = jnp.where(r < 0, r + 65521, r)
+    r = jnp.where(r >= 65521, r - 65521, r)
+    r = jnp.where(r >= 65521, r - 65521, r)
+    return r
+
+
+def _adler_batch(out, out_size):
+    """Adler-32 per row of ``(B, Opad)`` bytes — division-free, chunked.
+
+    ``s2 = out_size + Σ (out_size - i)·d[i]``, with the weight reduced
+    mod 65521 per element (product < 2^24·… stays in int32 after the
+    weight mod) and sums folded every 64 elements.
+    """
+    B, Opad = out.shape
+    d = out.astype(jnp.int32)
+    i = jnp.arange(Opad, dtype=jnp.int32)[None, :]
+    live = i < out_size
+    w = _mod65521(jnp.where(live, out_size - i, 0))
+    p = jnp.where(live, w * d, 0)          # < 65521·255 < 2^24
+    pc = p.reshape(B, -1, 64).sum(axis=2)  # < 2^30
+    pc = _mod65521(pc)
+    s2 = out_size % 65521
+    while pc.shape[1] > 1:
+        n = pc.shape[1]
+        if n > 8192:
+            pc = _mod65521(pc.reshape(B, -1, 64).sum(axis=2))
+        else:
+            pc = _mod65521(pc.sum(axis=1, keepdims=True))
+    s2 = _mod65521(pc[:, 0] + s2)
+    dc = jnp.where(live, d, 0).reshape(B, -1, 64).sum(axis=2)
+    while dc.shape[1] > 1:
+        n = dc.shape[1]
+        if n > 8192:
+            dc = _mod65521(dc.reshape(B, -1, 64).sum(axis=2))
+        else:
+            dc = _mod65521(dc.sum(axis=1, keepdims=True))
+    s1 = _mod65521(dc[:, 0] + 1)
+    return (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
+
+
 def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap):
     """Shared tail: compacted pointer-doubling expansion + Adler-32."""
     N = ptr.shape[0]
     # ---- expansion: compacted pointer doubling ------------------------
     is_m = (ptr != jnp.arange(N, dtype=jnp.int32))
-    cidx = jnp.nonzero(is_m, size=expand_cap, fill_value=N)[0]
+    cs = _cumsum_mxu(is_m.astype(jnp.int32))
+    pos = cs - 1
+    keep = is_m & (pos < expand_cap)
+    cidx = jnp.full(expand_cap, N, jnp.int32).at[
+        jnp.where(keep, pos, expand_cap)  # out-of-bounds ⇒ dropped
+    ].set(jnp.where(keep, jnp.arange(N, dtype=jnp.int32), N),
+          mode="drop")
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
     p = ptr_pad[jnp.clip(cidx, 0, N)]
 
@@ -248,11 +324,9 @@ def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap):
         jnp.where(cidx < N, src, out[jnp.clip(cidx, 0, N - 1)]))
     ovf = jnp.sum(is_m) > expand_cap
 
-    out = out.reshape(B, Opad)[:, :out_size]
-    pad = (-out_size) % 32768  # _adler_device folds in 64×512 tiles
-    outp = jnp.pad(out, ((0, 0), (0, pad)))
-    adler = jax.vmap(lambda r: _adler_device(r, out_size))(outp)
-    return out, flag, adler, ovf
+    out2 = out.reshape(B, Opad)
+    adler = _adler_batch(out2, out_size)
+    return out2[:, :out_size], flag, adler, ovf
 
 
 @functools.partial(jax.jit, static_argnames=("ob", "n_streams", "out_size",

@@ -146,3 +146,27 @@ def test_pallas_backend_batch():
     out = eng.inflate_zlib_batch(streams, n, keep_on_device=False)
     for i in range(2):
         assert bytes(out[i]) == datas[i], i
+
+
+def test_adler_batch_matches_zlib():
+    import jax.numpy as jnp
+    from swift_png_tpu.ops.inflate_checkpoint import _adler_batch
+
+    rng = np.random.default_rng(5)
+    for n, opad in ((1, 128), (1000, 1024), (65520, 65536), (70000, 70656)):
+        rows = rng.integers(0, 256, (2, opad), dtype=np.uint8)
+        got = np.asarray(_adler_batch(jnp.asarray(rows), n))
+        for b in range(2):
+            want = zlib.adler32(rows[b, :n].tobytes())
+            assert int(got[b]) == want, (n, b)
+
+
+def test_cumsum_mxu_exact():
+    import jax.numpy as jnp
+    from swift_png_tpu.ops.inflate_checkpoint import _cumsum_mxu
+
+    rng = np.random.default_rng(6)
+    for n in (1, 511, 512, 513, 100_000):
+        x = rng.integers(0, 2, n, dtype=np.int32)
+        got = np.asarray(_cumsum_mxu(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x))
