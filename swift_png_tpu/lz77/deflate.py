@@ -667,9 +667,11 @@ class NativeDeflator:
                  exponent: int = 15, hint: int = 1 << 15) -> None:
         if format not in ("zlib", "ios"):
             raise ValueError(f"unknown format {format!r}")
-        del exponent  # native engine always uses the full 32 KB window
+        if not 8 <= exponent <= 15:
+            raise ValueError("exponent cannot be less than 8 or greater than 15")
         self.format = format
         self.level = level
+        self.exponent = exponent
         self.hint = max(1, hint)
         self._parts: list[bytes] = []
         self._out = b""
@@ -683,7 +685,8 @@ class NativeDeflator:
             from .. import native
 
             payload = b"".join(self._parts)
-            self._out = native.deflate(payload, self.level, self.format)
+            self._out = native.deflate(payload, self.level, self.format,
+                                       exponent=self.exponent)
             self._finished = True
 
     def pop(self) -> bytes | None:

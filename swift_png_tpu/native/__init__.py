@@ -71,6 +71,11 @@ def _load():
                                        ctypes.c_void_p, ctypes.c_size_t,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_long]
+    lib.spt_deflate_blocks_w.restype = ctypes.c_longlong
+    lib.spt_deflate_blocks_w.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                         ctypes.c_void_p, ctypes.c_size_t,
+                                         ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_long, ctypes.c_int]
     lib.spt_defilter.restype = ctypes.c_int
     lib.spt_defilter.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_int]
@@ -108,20 +113,24 @@ def inflate(data: bytes, out_size: int, format: str = "zlib") -> bytes:
 
 
 def deflate(data: bytes, level: int = 9, format: str = "zlib",
-            block_terms: int = 0) -> bytes:
+            block_terms: int = 0, exponent: int = 15) -> bytes:
     """One-shot native deflate.
 
     ``block_terms`` caps tokens per dynamic block (0 → default 16384);
     larger blocks favor the device decode path (fewer sequential block
-    rounds) at a tiny ratio cost from less adaptive trees.
+    rounds) at a tiny ratio cost from less adaptive trees.  ``exponent``
+    (8…15) bounds match distances to ``1 << exponent`` and is declared in
+    the zlib header, matching the reference
+    (``LZ77.DeflatorBuffers.swift:22-23``).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     cap = len(data) + (len(data) >> 2) + 4096
     out = np.empty(cap, np.uint8)
-    n = lib.spt_deflate_blocks(data, len(data), out.ctypes.data, cap, level,
-                               _FORMATS[format], block_terms)
+    n = lib.spt_deflate_blocks_w(data, len(data), out.ctypes.data, cap,
+                                 level, _FORMATS[format], block_terms,
+                                 exponent)
     if n < 0:
         raise NativeError(n)
     return out[:n].tobytes()

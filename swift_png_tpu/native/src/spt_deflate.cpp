@@ -240,11 +240,13 @@ struct Searcher {
     size_t n;
     std::vector<int32_t> head, prev;
     int attempts, goal;
+    size_t max_dist;  // window size from the requested exponent (<= 32768)
     size_t inserted = 0;
 
-    Searcher(const uint8_t* d, size_t len, int att, int g)
+    Searcher(const uint8_t* d, size_t len, int att, int g,
+             size_t maxd = 32768)
         : data(d), n(len), head(1 << HBITS, -1), prev(len, -1),
-          attempts(att), goal(g) {}
+          attempts(att), goal(g), max_dist(maxd) {}
 
     uint32_t hash(size_t p) const {
         uint32_t key;
@@ -268,7 +270,7 @@ struct Searcher {
         memcpy(&key, data + pos, 4);
         int32_t cand = pos < prev.size() ? prev[pos] : -1;
         int tries = attempts;
-        while (cand >= 0 && tries > 0 && pos - cand < 32767) {
+        while (cand >= 0 && tries > 0 && pos - cand <= max_dist) {
             uint32_t ck;
             memcpy(&ck, data + cand, 4);
             if (ck == key) {
@@ -294,7 +296,7 @@ struct Searcher {
         memcpy(&key, data + pos, 4);
         int32_t cand = pos < prev.size() ? prev[pos] : -1;
         int tries = attempts;
-        while (cand >= 0 && tries > 0 && pos - cand < 32767) {
+        while (cand >= 0 && tries > 0 && pos - cand <= max_dist) {
             uint32_t ck;
             memcpy(&ck, data + cand, 4);
             if (ck == key) {
@@ -425,12 +427,27 @@ void optimal_parse(const uint8_t* data, size_t start, size_t stop, size_t n,
 
 extern "C" {
 
+long long spt_deflate_blocks_w(const uint8_t* src, size_t n, uint8_t* dst,
+                               size_t dstcap, int level, int format,
+                               long block_terms, int exponent);
+
 // format: 0 = zlib, 1 = raw/ios, 2 = gzip.  Returns bytes written or <0.
 // block_terms: token budget per dynamic block (0 → default 16384); larger
 // blocks decode faster on the device path (fewer dispatch-bound rounds).
 long long spt_deflate_blocks(const uint8_t* src, size_t n, uint8_t* dst,
                              size_t dstcap, int level, int format,
                              long block_terms) {
+    return spt_deflate_blocks_w(src, n, dst, dstcap, level, format,
+                                block_terms, 15);
+}
+
+// exponent 8…15 selects the match window (1 << e) and, for zlib, the
+// declared CINFO — the reference honors it end-to-end
+// (LZ77.DeflatorBuffers.swift:22-23, LZ77.StreamHeader.swift:56-62)
+long long spt_deflate_blocks_w(const uint8_t* src, size_t n, uint8_t* dst,
+                               size_t dstcap, int level, int format,
+                               long block_terms, int exponent) {
+    if (exponent < 8 || exponent > 15) return -7;
     Params par = search_parameters(level);
     // per-call block budget (no mutable global: the batch entry
     // points run deflate on concurrent threads)
@@ -438,7 +455,7 @@ long long spt_deflate_blocks(const uint8_t* src, size_t n, uint8_t* dst,
                                                : 16384;
     BitWriter bw;
     if (format == 0) {
-        uint8_t cmf = 0x78;
+        uint8_t cmf = (uint8_t)(((exponent - 8) << 4) | 0x08);
         uint8_t flg = (uint8_t)(~((cmf * 256) % 31) & 31);
         bw.out.push_back(cmf);
         bw.out.push_back(flg);
@@ -455,7 +472,8 @@ long long spt_deflate_blocks(const uint8_t* src, size_t n, uint8_t* dst,
         bw.write(~(uint32_t)n & 0xFFFF, 16);
         bw.bytes(src, n);
     } else {
-        Searcher win(src, n, par.attempts, par.goal);
+        Searcher win(src, n, par.attempts, par.goal,
+                     (size_t)1 << exponent);
         Depths depths;
         std::vector<uint32_t> terms;
         terms.reserve(BLOCK_TERMS + 4);

@@ -140,3 +140,38 @@ def test_defilter_batch_threaded():
     got = native.defilter_batch(rows.copy(), 3, threads=2)
     for i in range(5):
         np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_deflate_exponent_window():
+    import zlib
+    native = pytest.importorskip("swift_png_tpu.native")
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(9)
+    chunk = rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+    data = chunk + b"\x00" * 5000 + chunk  # match at distance ~8000
+    for e in (10, 12, 15):
+        s = native.deflate(data, 6, "zlib", exponent=e)
+        # header declares the requested window
+        assert s[0] >> 4 == e - 8
+        # a decoder with only 2^e window must accept it
+        assert zlib.decompress(s, wbits=e) == data
+    # small window must be bigger output (no distance-8000 match)
+    s10 = native.deflate(data, 6, "zlib", exponent=10)
+    s15 = native.deflate(data, 6, "zlib", exponent=15)
+    assert len(s15) < len(s10)
+
+
+def test_deflate_full_window_distance():
+    # regression: the searcher rejected the last legal distances
+    # (32767/32768); a match exactly 32768 back must round-trip
+    import zlib
+    native = pytest.importorskip("swift_png_tpu.native")
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(10)
+    block = rng.integers(0, 256, 300, dtype=np.uint8).tobytes()
+    filler = rng.integers(0, 256, 32768 - 300, dtype=np.uint8).tobytes()
+    data = block + filler + block
+    s = native.deflate(data, 9, "zlib")
+    assert zlib.decompress(s) == data
