@@ -346,6 +346,43 @@ BLOCK_TERMS = 16384
 GRAPH_NODES = 16384
 
 
+
+class _SlidingBytes:
+    """Byte buffer addressed by ABSOLUTE stream offsets with a released
+    prefix — the ``LZ77.DeflatorIn`` O(window) analog
+    (``Sources/LZ77/Deflator/LZ77.DeflatorIn.swift:158-200``)."""
+
+    __slots__ = ("buf", "base")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.base = 0
+
+    def __len__(self) -> int:
+        return self.base + len(self.buf)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start = (0 if i.start is None else i.start) - self.base
+            stop = (len(self) if i.stop is None else i.stop) - self.base
+            return bytes(self.buf[max(start, 0):max(stop, 0)])
+        return self.buf[i - self.base]
+
+    def extend(self, b) -> None:
+        self.buf += b
+
+    def trim(self, keep_from: int) -> bytes:
+        """Release bytes before ``keep_from``; returns them for checksum
+        folding."""
+        cut = keep_from - self.base
+        if cut <= 0:
+            return b""
+        dropped = bytes(self.buf[:cut])
+        del self.buf[:cut]
+        self.base = keep_from
+        return dropped
+
+
 class RawDeflator:
     """DEFLATE block-layer encoder over accumulated input."""
 
@@ -354,7 +391,8 @@ class RawDeflator:
         self.exponent = exponent
         self.window = Window(exponent)
         self.depths = Depths()
-        self.data = b""
+        self.data = _SlidingBytes()
+        self.integral = 1  # Adler-32 over released input
         self.pos = 0  # next unprocessed byte
         self.inserted = 0  # next position to insert into the hash chains
         self.out = BitWriter()
@@ -364,10 +402,21 @@ class RawDeflator:
 
     def push(self, data: bytes, last: bool = False) -> None:
         assert not self.finished
-        self.data += bytes(data)
+        self.data.extend(bytes(data))
         self._compress(last)
         if last:
             self.finished = True
+        else:
+            # release input more than a window behind the parse cursor,
+            # folding the stream checksum over what leaves the buffer
+            keep_from = min(self.pos, self.inserted) - (1 << self.exponent) - 8
+            if keep_from - self.data.base >= (1 << 16):
+                self.integral = adler32(self.data.trim(keep_from),
+                                        self.integral)
+
+    def checksum(self) -> int:
+        """Adler-32 of the complete input (released prefix + live tail)."""
+        return adler32(self.data.buf, self.integral)
 
     # -- helpers ---------------------------------------------------------
 
@@ -631,7 +680,7 @@ class Deflator:
         if last:
             if self.format == "zlib":
                 self._raw.out.write_bytes(
-                    adler32(self._raw.data).to_bytes(4, "big")
+                    self._raw.checksum().to_bytes(4, "big")
                 )
             else:
                 self._raw.out.pad_to_byte()

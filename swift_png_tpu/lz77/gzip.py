@@ -27,18 +27,22 @@ class GzipDeflator:
         self._pending = b""
         self._buffer = bytearray()
         self._finished = False
+        self._crc = 0       # folded incrementally: O(window) memory
+        self._total = 0
         self.hint = hint
 
     def push(self, data: bytes, last: bool = False) -> None:
         assert not self._finished
-        self._pending += bytes(data)
+        data = bytes(data)
+        self._crc = crc32(data, self._crc)
+        self._total += len(data)
+        self._pending += data
         if last or len(self._pending) > 4096:
             self._raw.push(self._pending, last)
             self._pending = b""
         if last:
-            payload = self._raw.data
-            trailer = crc32(payload).to_bytes(4, "little") + (
-                len(payload) & 0xFFFFFFFF
+            trailer = self._crc.to_bytes(4, "little") + (
+                self._total & 0xFFFFFFFF
             ).to_bytes(4, "little")
             self._raw.out.write_bytes(trailer)
             self._finished = True

@@ -74,6 +74,7 @@ class RawInflator:
         self.bitpos = 0
         self.nbits = 0
         self.out = bytearray()
+        self.out_base = 0   # bytes released from the front of ``out``
         self.done = False
         # persisted mid-block state (compressed blocks)
         self._block: tuple | None = None  # (final, litlut, litmax, distlut, distmax)
@@ -97,8 +98,39 @@ class RawInflator:
     # -- input management ---------------------------------------------------
 
     def push(self, data: bytes) -> None:
+        self._rebase_input()
         self.data += bytes(data)
         self.nbits = 8 * len(self.data)
+
+    def _rebase_input(self) -> None:
+        """Drop consumed input bytes so a long stream needs O(window)
+        memory, not O(stream) (``LZ77.InflatorIn.rebase``,
+        ``Sources/LZ77/Inflator/LZ77.InflatorIn.swift:47-138``)."""
+        shift = self.bitpos >> 3
+        if shift < (1 << 16):
+            return  # amortize: rebase every ≥64 KB of consumed input
+        self.data = self.data[shift:]
+        self.bitpos -= 8 * shift
+        self.nbits -= 8 * shift
+
+    @property
+    def produced(self) -> int:
+        """Total decompressed bytes (including released ones)."""
+        return self.out_base + len(self.out)
+
+    def release(self, upto: int) -> bytes:
+        """Drop output before ``upto`` (absolute), always retaining the
+        32 KB LZ77 window; returns the dropped bytes so callers can fold
+        their stream checksum incrementally (``LZ77.InflatorOut.shift``,
+        ``Sources/LZ77/Inflator/LZ77.InflatorOut.swift:153-196``)."""
+        keep_from = min(upto, self.produced - (1 << 15))
+        cut = keep_from - self.out_base
+        if cut <= 0:
+            return b""
+        dropped = bytes(self.out[:cut])
+        del self.out[:cut]
+        self.out_base = keep_from
+        return dropped
 
     # -- bit primitives (LSB-first, zero-padded peek) -----------------------
 
@@ -149,7 +181,7 @@ class RawInflator:
             m = self._read(16)
             if l != (~m & 0xFFFF):
                 raise DecompressionError.invalid_block_element_count_parity(l, m)
-            self._stored = (final, len(self.out) + l)
+            self._stored = (final, self.produced + l)
         elif btype == 1:
             lit, dist = _fixed_tables()
             self._block = (final, lit, 9, dist, 5)
@@ -230,14 +262,14 @@ class RawInflator:
 
     def _read_stored(self) -> bool:
         final, end = self._stored
-        need = end - len(self.out)
+        need = end - self.produced
         assert self.bitpos % 8 == 0
         avail = (self.nbits - self.bitpos) >> 3
         take = min(need, avail)
         start = self.bitpos >> 3
         self.out += self.data[start : start + take]
         self.bitpos += 8 * take
-        if len(self.out) == end:
+        if self.produced == end:
             self._stored = None
             self.done = bool(final)
             return True
@@ -316,7 +348,7 @@ class RawInflator:
                     self.stats["run_decades"][decade] += 1
                     self.stats["dist_decades"][dsym] += 1
                 n = len(out)
-                if distance > n:
+                if distance > n + self.out_base:
                     raise DecompressionError.invalid_string_reference()
                 if distance >= run:
                     out += out[n - distance : n - distance + run]
@@ -343,6 +375,7 @@ class Inflator:
         self._raw = RawInflator()
         self._state = "initial" if format == "zlib" else "block"
         self._read_cursor = 0
+        self._integral = 1  # Adler-32 folded over released output
         self.window_exponent = 15
 
     # -- container FSM (``LZ77.InflatorBuffers.swift:83-137``) --------------
@@ -374,7 +407,7 @@ class Inflator:
                     raw.data[raw.bitpos >> 3 : (raw.bitpos >> 3) + 4], "big"
                 )
                 raw.bitpos += 32
-                computed = adler32(raw.out)
+                computed = adler32(raw.out, self._integral)
                 if computed != declared:
                     raise DecompressionError.invalid_stream_checksum(declared, computed)
                 if DUMP_STATS:
@@ -400,16 +433,24 @@ class Inflator:
 
     def pull(self, count: int | None = None) -> bytes | None:
         """Pull exactly ``count`` bytes (or ``None`` if unavailable); with no
-        argument, pull everything decoded so far."""
-        avail = len(self._raw.out) - self._read_cursor
+        argument, pull everything decoded so far.
+
+        Pulled bytes beyond the 32 KB window are released — a stream of any
+        length decodes in O(window) memory, with the Adler-32 folded
+        incrementally over released output."""
+        raw = self._raw
+        start = self._read_cursor - raw.out_base
+        avail = raw.produced - self._read_cursor
         if count is None:
-            out = bytes(self._raw.out[self._read_cursor :])
-            self._read_cursor = len(self._raw.out)
-            return out
-        if avail < count:
+            out = bytes(raw.out[start:])
+            self._read_cursor = raw.produced
+        elif avail < count:
             return None
-        out = bytes(self._raw.out[self._read_cursor : self._read_cursor + count])
-        self._read_cursor += count
+        else:
+            out = bytes(raw.out[start : start + count])
+            self._read_cursor += count
+        self._integral = adler32(raw.release(self._read_cursor),
+                                 self._integral)
         return out
 
     @property
@@ -426,6 +467,7 @@ class GzipInflator:
         self._raw = RawInflator()
         self._state = "initial"
         self._read_cursor = 0
+        self._integral = 0  # CRC-32 folded over released output
         self._skip = 0
         self._strings = 0
 
@@ -453,7 +495,7 @@ class GzipInflator:
                 declared = int.from_bytes(raw.data[base : base + 4], "little")
                 isize = int.from_bytes(raw.data[base + 4 : base + 8], "little")
                 raw.bitpos += 64
-                computed = crc32(raw.out)
+                computed = crc32(raw.out, self._integral)
                 if computed != declared:
                     raise DecompressionError.invalid_stream_checksum(declared, computed)
                 del isize  # modulo-2^32 length; reference discards it too
@@ -506,15 +548,19 @@ class GzipInflator:
         return True
 
     def pull(self, count: int | None = None) -> bytes | None:
-        avail = len(self._raw.out) - self._read_cursor
+        raw = self._raw
+        start = self._read_cursor - raw.out_base
+        avail = raw.produced - self._read_cursor
         if count is None:
-            out = bytes(self._raw.out[self._read_cursor :])
-            self._read_cursor = len(self._raw.out)
-            return out
-        if avail < count:
+            out = bytes(raw.out[start:])
+            self._read_cursor = raw.produced
+        elif avail < count:
             return None
-        out = bytes(self._raw.out[self._read_cursor : self._read_cursor + count])
-        self._read_cursor += count
+        else:
+            out = bytes(raw.out[start : start + count])
+            self._read_cursor += count
+        self._integral = crc32(raw.release(self._read_cursor),
+                               self._integral)
         return out
 
     @property

@@ -328,6 +328,11 @@ def deflate_device(data: bytes, level: int = 3) -> bytes:
     from ..lz77.deflate import _write_stored_block
     from ..utils.bits import BitWriter
 
+    if level >= 8:
+        # full minimum-cost-path tier (DeflatorSearch levels 8–13)
+        from .deflate_optimal import deflate_device_optimal
+
+        return deflate_device_optimal(data, level=level)
     lazy = level >= 4  # level → strategy, matching DeflatorSearch tiers
     n = len(data)
     out = BitWriter()

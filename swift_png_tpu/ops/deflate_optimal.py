@@ -1,0 +1,557 @@
+"""Device optimal parse (levels 8–13): distance-menu DP in a Pallas kernel.
+
+The reference's levels 8–13 build a match DAG per block and run an
+adaptive-cost shortest path over it
+(``Sources/LZ77/Deflator/LZ77.DeflatorMatches.swift:265-379`` +
+``…Depths.swift:4-112``).  On this TPU every random access costs ~13 ns,
+so the hash-chain + LCP-probe search that feeds the DAG would be
+gather-bound.  The TPU-native redesign replaces it end to end with dense
+and VMEM-resident compute:
+
+* **candidate generation** — a *distance menu*: ~two dozen distances
+  (small constants, pixel/row strides, plus data-driven picks sampled by
+  the native tier) are scanned densely: ``eq_d[i] = data[i] == data[i-d]``
+  is a shift-compare, and the exact match run at every position is the
+  suffix run-length of ``eq_d`` — one associative scan per menu entry, no
+  gathers, exact matches only;
+* **top-K selection** — per position the K best menu hits by
+  (run, cheap-decade) score, dense;
+* **minimum-cost path** — a Pallas kernel runs the forward DP in VMEM:
+  chunks of ``NB`` bytes ride the lane dimension (128 independent DPs per
+  tile), positions advance sequentially, and each step relaxes the
+  literal edge plus K match edges over all lengths 3…run with a masked
+  range-min on the sublane dimension; provenance arrays then drive an
+  in-kernel backtrack that emits packed ``DeflatorTerm`` tokens in
+  position order;
+* **cost refinement** — the reference's ``Depths`` iteration: term
+  frequencies → host tree build → new cost tables → re-run the kernel
+  (device↔host traffic per iteration is ~1 KB of tables).
+
+Chunk boundaries (``NB`` bytes) play the role of the reference's
+``GRAPH_NODES`` graph windows (``lz77/deflate.py:346``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lz77 import constants as C
+from ..lz77.deflate import Depths, search_parameters
+from ..lz77.huffman import lengths_from_frequencies
+
+__all__ = ["menu_candidates", "optimal_parse_device", "deflate_device_optimal"]
+
+NB = 1024   # DP chunk length (bytes per lane)
+KCAND = 4   # match edges per position fed to the DP
+
+
+# ---------------------------------------------------------------------------
+# candidate generation: distance menu + dense run scans
+# ---------------------------------------------------------------------------
+
+def default_menu(n: int, bpp: int = 4, pitch: int = 0) -> list[int]:
+    """Structural distance menu for filtered image data."""
+    menu = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 64]
+    if bpp > 1:
+        menu += [bpp, 2 * bpp, 3 * bpp]
+    if pitch:
+        menu += [pitch - bpp, pitch, pitch + bpp, 2 * pitch]
+    out = []
+    for d in menu:
+        if 1 <= d <= min(32768, n - 1) and d not in out:
+            out.append(d)
+    return out
+
+
+def sampled_menu(data: bytes, n_extra: int = 8) -> list[int]:
+    """Data-driven distances from a host-side sample (native tier probe).
+
+    A cheap stand-in for chain-walk statistics: deflate a small sample at
+    a low level and histogram the match distances that actually occur.
+    """
+    from .. import native
+
+    if not native.available() or len(data) < 4096:
+        return []
+    sample = data[: 1 << 16]
+    try:
+        body = native.deflate(sample, 4, "ios")
+    except Exception:
+        return []
+    # walk tokens with the host index machinery's bit walker is overkill;
+    # reuse the host inflator stats instead: decode and record distances
+    from ..lz77.index import build_index
+
+    try:
+        ix = build_index(body, len(sample), ob=1 << 15)
+    except Exception:
+        return []
+    if ix is None:
+        return []
+    # build_index does not expose distances; fall back to the zlib-level
+    # histogram via the scalar token walk in index building — cheap enough
+    # to re-run here with recording
+    return _walk_distances(body, top=n_extra)
+
+
+def _walk_distances(body: bytes, top: int) -> list[int]:
+    from ..lz77.index import _BitWalker, _flat_lut
+    from ..lz77 import constants as CC
+
+    w = _BitWalker(body)
+    final = w.read(1)
+    btype = w.read(2)
+    if btype != 2:
+        return []
+    hlit = w.read(5) + 257
+    hdist = w.read(5) + 1
+    hclen = w.read(4) + 4
+    ml = np.zeros(19, np.int64)
+    for i in range(hclen):
+        ml[CC.CODELENGTH_ORDER[i]] = w.read(3)
+    try:
+        mlut = _flat_lut(ml, 7)
+    except Exception:
+        return []
+    lengths: list[int] = []
+    while len(lengths) < hlit + hdist:
+        e = int(mlut[w.peek(7)])
+        ln, sym = e >> 16, e & 0xFFFF
+        if ln == 0:
+            return []
+        w.pos += ln
+        if sym < 16:
+            lengths.append(sym)
+        elif sym == 16:
+            lengths += [lengths[-1]] * (3 + w.read(2))
+        elif sym == 17:
+            lengths += [0] * (3 + w.read(3))
+        else:
+            lengths += [0] * (11 + w.read(7))
+    la = np.array(lengths, np.int64)
+    lit = np.zeros(288, np.int64)
+    lit[:hlit] = la[:hlit]
+    dl = np.zeros(32, np.int64)
+    dl[:hdist] = la[hlit:]
+    try:
+        litlut = _flat_lut(lit, 15)
+        distlut = (_flat_lut(dl, 15) if np.count_nonzero(dl)
+                   else np.zeros(2, np.int64))
+    except Exception:
+        return []
+    hist: dict[int, int] = {}
+    nbits = len(body) * 8
+    while w.pos + 15 < nbits:
+        e = int(litlut[w.peek(15)])
+        ln, sym = e >> 16, e & 0xFFFF
+        if ln == 0:
+            break
+        w.pos += ln
+        if sym < 256:
+            continue
+        if sym == 256:
+            break
+        dec = sym - 257
+        if dec > 28:
+            break
+        run_eb = int(CC.RUN_EXTRA[dec])
+        w.read(run_eb)
+        e2 = int(distlut[w.peek(15)])
+        dln, dsym = e2 >> 16, e2 & 0xFFFF
+        if dln == 0 or dsym > 29:
+            break
+        w.pos += dln
+        dist = int(CC.DISTANCE_BASE[dsym]) + w.read(
+            int(CC.DISTANCE_EXTRA[dsym]))
+        hist[dist] = hist.get(dist, 0) + 1
+    return [d for d, _ in sorted(hist.items(), key=lambda kv: -kv[1])[:top]]
+
+
+@functools.partial(jax.jit, static_argnames=("menu", "k"))
+def menu_candidates(data: jnp.ndarray, n: jnp.ndarray, *, menu: tuple,
+                    k: int = KCAND):
+    """Exact match runs at every position for each menu distance; top-k.
+
+    Args:
+      data: ``(N,)`` uint8 (padded).
+      n: live byte count.
+      menu: static tuple of candidate distances.
+      k: matches kept per position.
+
+    Returns ``(runs (k, N) int32, dists (k, N) int32)`` — runs clipped to
+    258 and to the live range; run < 3 means no edge.
+    """
+    N = data.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    d32 = data.astype(jnp.int32)
+
+    def run_for(d):
+        eq = jnp.concatenate([jnp.zeros(d, bool),
+                              d32[d:] == d32[:-d]]) & (pos < n)
+        # suffix run length of eq: r[i] = eq[i] ? 1 + r[i+1] : 0 — via
+        # reversed associative scan over (value, is-boundary) pairs
+        x = eq[::-1].astype(jnp.int32)
+
+        def op(a, b):
+            # segmented add: b resets when b's element was 0
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, av + bv, bv), af & bf
+
+        r, _ = jax.lax.associative_scan(op, (x, x > 0))
+        return jnp.minimum(r[::-1], 258)
+
+    runs = []
+    for d in menu:
+        r = run_for(int(d))
+        r = jnp.minimum(r, jnp.maximum(n - pos, 0))
+        valid = pos >= d
+        runs.append(jnp.where(valid, r, 0))
+    R = jnp.stack(runs)                      # (D, N)
+    DD = jnp.stack([jnp.full(N, int(C.DISTANCE_DECADE[d]), jnp.int32)
+                    for d in menu])
+    # score: prefer long runs, then cheap (near) distances
+    score = R * 64 - DD
+    score = jnp.where(R >= 3, score, -1)
+    out_runs, out_dists = [], []
+    dist_arr = jnp.array([int(d) for d in menu], jnp.int32)
+    for _ in range(k):
+        best = jnp.argmax(score, axis=0)     # (N,)
+        bruns = jnp.take_along_axis(R, best[None], axis=0)[0]
+        bscore = jnp.take_along_axis(score, best[None], axis=0)[0]
+        bdist = dist_arr[best]
+        ok = bscore >= 0
+        out_runs.append(jnp.where(ok, bruns, 0))
+        out_dists.append(jnp.where(ok, bdist, 1))
+        score = score.at[best, jnp.arange(N)].set(-1)
+    return jnp.stack(out_runs), jnp.stack(out_dists)
+
+
+# ---------------------------------------------------------------------------
+# cost tables (host, per Depths iteration)
+# ---------------------------------------------------------------------------
+
+def _tables_from_depths(depths: Depths):
+    s = depths.storage.astype(np.int32)
+    dep_lit = s[:256]
+    runcost = s[256:512]                      # index L-3
+    ddep = np.zeros(32, np.int32)
+    ddep[:30] = s[512:542]
+    rdinfo = np.zeros(256, np.int32)
+    for L in range(3, 259):
+        rd = int(C.RUN_DECADE[L])
+        rdinfo[L - 3] = rd | int(C.RUN_BASE[rd]) << 5
+    dbase = np.zeros(32, np.int32)
+    dbase[:30] = C.DISTANCE_BASE[:30]
+    return dep_lit, runcost, ddep, rdinfo, dbase
+
+
+def _rep128(v: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.repeat(v[:, None], 128, axis=1).astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# the DP kernel
+# ---------------------------------------------------------------------------
+
+INF = 1 << 28
+
+
+def _make_dp_kernel(k: int):
+    import jax.experimental.pallas as pl  # deferred
+
+    def kernel(data_ref, clen_ref, cand_ref, dep_lit_ref, runcost_ref,
+               ddep_ref, rdinfo_ref, dbase_ref, terms_ref, valid_ref,
+               cost_scr, plen_scr, pdist_scr):
+        iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+        iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NB + 264, 128), 0)
+        clen = clen_ref[0, 0][None, :]          # (1, 128) live bytes
+        cost_scr[...] = jnp.where(rows == 0, 0, INF)
+        plen_scr[...] = jnp.zeros((NB + 264, 128), jnp.int32)
+        pdist_scr[...] = jnp.ones((NB + 264, 128), jnp.int32)
+
+        # literal costs for every position at once: one-hot over the 256
+        # byte values, each iteration a dense (NB, 128) select
+        def lit_body(v, acc):
+            depv = dep_lit_ref[pl.ds(v, 1)]     # (1, 128) replicated row
+            return acc + jnp.where(data_ref[0] == v, depv, 0)
+
+        litc = jax.lax.fori_loop(0, 256, lit_body,
+                                 jnp.zeros((NB, 128), jnp.int32))
+
+        def decade_of(dist):
+            """Distance decade, closed form (no tables)."""
+            dm1 = dist - 1
+            bl = jnp.zeros_like(dist)
+            for t in range(16):
+                bl = bl + (dm1 >= (1 << t)).astype(jnp.int32)
+            hi = (dm1 >> jnp.maximum(bl - 2, 0)) & 1
+            return jnp.where(dist <= 4, dm1, 2 * (bl - 1) + hi)
+
+        rc = runcost_ref[...]                   # (256, 128), index L-3
+
+        def fwd(i, _):
+            ci = cost_scr[pl.ds(i, 1)]          # (1, 128)
+            # literal edge i → i+1
+            lc = ci + jax.lax.dynamic_slice_in_dim(litc, i, 1, 0)
+            old = cost_scr[pl.ds(i + 1, 1)]
+            ok = (i < clen)
+            bet = ok & (lc < old)
+            cost_scr[pl.ds(i + 1, 1)] = jnp.where(bet, lc, old)
+            plen_scr[pl.ds(i + 1, 1)] = jnp.where(
+                bet, 1, plen_scr[pl.ds(i + 1, 1)])
+            pdist_scr[pl.ds(i + 1, 1)] = jnp.where(
+                bet, 0, pdist_scr[pl.ds(i + 1, 1)])
+            for kk in range(k):
+                candrow = cand_ref[0, kk, pl.ds(i, 1)]   # (1, 128)
+                distk = candrow >> 9
+                runk = candrow & 0x1FF
+                dd = decade_of(distk)
+                dcost = jnp.sum(
+                    jnp.where(iota32 == dd, ddep_ref[...], 0), axis=0,
+                    keepdims=True)              # (1, 128)
+                base = ci + dcost
+                news = base + rc
+                reach = jnp.minimum(runk, clen - i)
+                mask = (iota256 + 3 <= reach) & ok
+                news = jnp.where(mask, news, INF)
+                olds = cost_scr[pl.ds(i + 3, 256)]
+                bet2 = news < olds
+                cost_scr[pl.ds(i + 3, 256)] = jnp.where(bet2, news, olds)
+                plen_scr[pl.ds(i + 3, 256)] = jnp.where(
+                    bet2, iota256 + 3, plen_scr[pl.ds(i + 3, 256)])
+                pdist_scr[pl.ds(i + 3, 256)] = jnp.where(
+                    bet2, distk, pdist_scr[pl.ds(i + 3, 256)])
+            return 0
+
+        jax.lax.fori_loop(0, NB, fwd, 0)
+
+        # backtrack: descending positions, per-lane path cursor; terms are
+        # stored at their END position so the valid-masked array is in
+        # stream order for the bit packer
+        terms_ref[...] = jnp.zeros((1, NB, 128), jnp.int32)
+        valid_ref[...] = jnp.zeros((1, NB, 128), jnp.int32)
+
+        def bwd(s, nxt):
+            i = NB + 1 - s                      # NB … 1
+            on = (nxt == i) & (i <= clen)
+            ln = plen_scr[pl.ds(i, 1)]          # (1, 128)
+            dist = pdist_scr[pl.ds(i, 1)]
+            is_lit = ln == 1
+            byte = data_ref[0, pl.ds(i - 1, 1)]
+            rinfo = jnp.sum(
+                jnp.where(iota256 == jnp.maximum(ln - 3, 0),
+                          rdinfo_ref[...], 0), axis=0, keepdims=True)
+            rd = rinfo & 31
+            rbase = (rinfo >> 5) & 0x1FF
+            dd = decade_of(dist)
+            dbase_v = jnp.sum(
+                jnp.where(iota32 == dd, dbase_ref[...], 0), axis=0,
+                keepdims=True)
+            lit_term = jnp.int32(-134217728) + byte      # 0xF8000000 | b
+            match_term = ((dd << 27) | ((dist - dbase_v) << 14)
+                          | ((ln - rbase) << 9) | 0x100 | rd)
+            term = jnp.where(is_lit, lit_term, match_term)
+            terms_ref[0, pl.ds(i - 1, 1)] = jnp.where(
+                on, term, terms_ref[0, pl.ds(i - 1, 1)])
+            valid_ref[0, pl.ds(i - 1, 1)] = jnp.where(
+                on, 1, valid_ref[0, pl.ds(i - 1, 1)])
+            return jnp.where(on, i - ln, nxt)
+
+        jax.lax.fori_loop(1, NB + 1, bwd, clen + 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
+                         dbase, *, k: int = KCAND, interpret: bool = False):
+    """Run the DP kernel over all chunk tiles.
+
+    Args:
+      data2: ``(Tc, NB, 128)`` int32 — chunk bytes, chunks on lanes
+        (chunk ``c`` of tile ``t`` at lane ``c``; byte ``i`` at row ``i``).
+      clen: ``(Tc, 8, 128)`` int32 — live bytes per chunk (row 0).
+      cand: ``(Tc, k, NB, 128)`` int32 — packed ``dist<<9 | run``.
+      dep_lit/runcost/ddep/rdinfo/dbase: cost tables replicated to 128
+        lanes: ``(256,128)/(256,128)/(32,128)/(256,128)/(32,128)``.
+
+    Returns ``(terms (Tc, NB, 128) int32, valid (Tc, NB, 128) int32)`` —
+    packed ``DeflatorTerm`` tokens at their chunk-end positions.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Tc = data2.shape[0]
+    kernel = _make_dp_kernel(k)
+    terms, valid = pl.pallas_call(
+        kernel,
+        grid=(Tc,),
+        in_specs=[
+            pl.BlockSpec((1, NB, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, NB, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 128), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NB, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Tc, NB, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NB + 264, 128), jnp.int32),
+            pltpu.VMEM((NB + 264, 128), jnp.int32),
+            pltpu.VMEM((NB + 264, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data2, clen, cand, dep_lit, runcost, ddep, rdinfo, dbase)
+    return terms, valid
+
+
+def _device_histogram(terms, valid):
+    """320-bin term frequencies on device (runs + literals + decades)."""
+    t = jax.lax.bitcast_convert_type(terms.reshape(-1), jnp.uint32)
+    v = valid.reshape(-1) != 0
+    is_lit = (t >> 27 == 31) & ((t & 0x100) == 0)
+    litsym = jnp.where(v & is_lit, (t & 0xFF).astype(jnp.int32), 320)
+    runsym = jnp.where(v & ~is_lit, 257 + (t & 0xFF).astype(jnp.int32), 320)
+    dsym = jnp.where(v & ~is_lit, 288 + (t >> 27).astype(jnp.int32), 320)
+    freq = jnp.zeros(321, jnp.int32)
+    freq = freq.at[litsym].add(1, mode="drop")
+    freq = freq.at[runsym].add(1, mode="drop")
+    freq = freq.at[dsym].add(1, mode="drop")
+    return freq[:320]
+
+
+def deflate_device_optimal(data: bytes, level: int = 9,
+                           pitch: int = 0, bpp: int = 4,
+                           interpret: bool | None = None,
+                           return_parts: bool = False):
+    """One-shot zlib deflate at levels 8–13 with the device DP parse.
+
+    Host work: distance-menu selection, Huffman tree construction from the
+    (tiny) device histogram, and header serialization — the same
+    host/device split as the reference's table build vs. hot loop.
+    Emits a single dynamic block (the indexed decoder's fast-path shape).
+
+    Cites: ``DeflatorMatches.minimize/explore``
+    (``Sources/LZ77/Deflator/LZ77.DeflatorMatches.swift:265-379``),
+    ``Depths`` iteration (``…Matches.Depths.swift:53-97``).
+    """
+    from ..lz77.checksums import adler32
+    from ..lz77.deflate import _write_stored_block
+    from ..utils.bits import BitWriter
+    from .deflate import (_emit_tables, _write_block_header_and_tables,
+                          _append_bits, pack_terms, pack_bits,
+                          atoms_to_bytes)
+    from ..lz77.huffman import canonical_codes
+    from ..utils.bits import reverse_bits
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    strategy, attempts, goal, iterations = search_parameters(level)
+    n = len(data)
+    out = BitWriter()
+    cmf = 0x78
+    flg = ~((cmf * 256) % 31) & 31
+    out.write_bytes(bytes([cmf, flg]))
+    if n < 3:
+        _write_stored_block(out, data, True)
+        out.pad_to_byte()
+        return bytes(out.drain()) + adler32(data).to_bytes(4, "big")
+
+    menu = default_menu(n, bpp=bpp, pitch=pitch)
+    menu += [d for d in _extra_menu(data) if d not in menu]
+    menu = tuple(sorted(menu))
+
+    chunks = -(-n // NB)
+    Tc = -(-chunks // 128)
+    Npad = Tc * 128 * NB
+    buf = np.zeros(Npad, np.uint8)
+    buf[:n] = np.frombuffer(data, np.uint8)
+    runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(n),
+                                  menu=menu, k=KCAND)
+    # chunk-local clipping: an edge may not cross its chunk end (the DP is
+    # chunk-independent, like the reference's GRAPH_NODES windows)
+    cand = (jnp.asarray(dists) << 9) | jnp.asarray(runs)
+    cand = np.asarray(cand).reshape(KCAND, Tc, 128, NB)
+    cand = np.ascontiguousarray(cand.transpose(1, 0, 3, 2))
+    data2 = np.ascontiguousarray(
+        buf.reshape(Tc, 128, NB).transpose(0, 2, 1)).astype(np.int32)
+    clen = np.zeros((Tc, 8, 128), np.int32)
+    for c in range(chunks):
+        clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
+
+    depths = Depths()
+    iters = max(1, iterations * (2 if depths.generic else 1))
+    terms = valid = None
+    for it in range(iters):
+        dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
+        terms, valid = optimal_parse_device(
+            jnp.asarray(data2), jnp.asarray(clen), jnp.asarray(cand),
+            _rep128(dep_lit), _rep128(runcost), _rep128(ddep),
+            _rep128(rdinfo), _rep128(dbase), k=KCAND, interpret=interpret)
+        freq = np.asarray(_device_histogram(terms, valid)).astype(np.int64)
+        freq[256] += 1
+        lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
+        dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
+        if it + 1 < iters:
+            depths.update(lit_l, dist_l)
+
+    # emit: single dynamic block, device bit packing
+    terms_flat = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
+    valid_flat = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
+    tables = _emit_tables(lit_l, dist_l)
+    lanes, nbits = pack_terms(
+        jax.lax.bitcast_convert_type(terms_flat, jnp.uint32), *tables)
+    atoms, total = pack_bits(lanes, nbits, valid_flat)
+    body = atoms_to_bytes(np.asarray(atoms), int(total))
+    _write_block_header_and_tables(out, lit_l, dist_l, True)
+    _append_bits(out, body, int(total))
+    lit_codes = canonical_codes(np.asarray(lit_l, np.int64))
+    out.write(reverse_bits(int(lit_codes[256]), int(lit_l[256])),
+              int(lit_l[256]))
+    out.pad_to_byte()
+    stream = bytes(out.drain()) + adler32(data).to_bytes(4, "big")
+    if return_parts:
+        return stream, np.asarray(valid_flat).sum()
+    return stream
+
+
+def _extra_menu(data: bytes) -> list[int]:
+    try:
+        return _walk_distances_from_sample(data)
+    except Exception:
+        return []
+
+
+def _walk_distances_from_sample(data: bytes) -> list[int]:
+    from .. import native
+
+    if not native.available() or len(data) < 4096:
+        return []
+    sample = data[: 1 << 16]
+    body = native.deflate(sample, 4, "ios")
+    return _walk_distances(body, top=8)

