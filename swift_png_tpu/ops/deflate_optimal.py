@@ -189,29 +189,37 @@ def menu_candidates(data: jnp.ndarray, n: jnp.ndarray, *, menu: tuple,
     pos = jnp.arange(N, dtype=jnp.int32)
     d32 = data.astype(jnp.int32)
 
-    def run_for(d):
-        eq = jnp.concatenate([jnp.zeros(d, bool),
-                              d32[d:] == d32[:-d]]) & (pos < n)
-        # suffix run length of eq: r[i] = eq[i] ? 1 + r[i+1] : 0 — via
-        # reversed associative scan over (value, is-boundary) pairs
-        x = eq[::-1].astype(jnp.int32)
-
-        def op(a, b):
-            # segmented add: b resets when b's element was 0
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf, av + bv, bv), af & bf
-
-        r, _ = jax.lax.associative_scan(op, (x, x > 0))
-        return jnp.minimum(r[::-1], 258)
-
-    runs = []
+    # shifted-equality masks for every menu distance at once
+    eqs = []
     for d in menu:
-        r = run_for(int(d))
-        r = jnp.minimum(r, jnp.maximum(n - pos, 0))
-        valid = pos >= d
-        runs.append(jnp.where(valid, r, 0))
-    R = jnp.stack(runs)                      # (D, N)
+        d = int(d)
+        eqs.append(jnp.concatenate(
+            [jnp.zeros(d, bool), d32[d:] == d32[:-d]]) & (pos < n))
+    eq = jnp.stack(eqs)                      # (D, N)
+
+    # suffix run length by log-doubling: r_k = min(true_run, 2^k);
+    # r_{k+1}[i] = r_k[i] + (r_k[i] == 2^k) · r_k[i + 2^k].  The first
+    # seven steps stay in uint8 (values ≤ 128) — ¼ the memory traffic of
+    # an int32 associative scan per distance.
+    r8 = eq.astype(jnp.uint8)
+    for lv in range(7):
+        step = 1 << lv
+        nxt = jnp.concatenate(
+            [r8[:, step:], jnp.zeros((r8.shape[0], step), jnp.uint8)],
+            axis=1)
+        r8 = r8 + jnp.where(r8 == step, nxt, 0)
+    r = r8.astype(jnp.int32)
+    for lv in (7, 8):
+        step = 1 << lv
+        nxt = jnp.concatenate(
+            [r[:, step:], jnp.zeros((r.shape[0], step), jnp.int32)],
+            axis=1)
+        r = r + jnp.where(r == step, nxt, 0)
+    r = jnp.minimum(r, 258)
+
+    dvec = jnp.array([int(d) for d in menu], jnp.int32)[:, None]
+    R = jnp.where(pos[None, :] >= dvec,
+                  jnp.minimum(r, jnp.maximum(n - pos, 0)[None, :]), 0)
     DD = jnp.stack([jnp.full(N, int(C.DISTANCE_DECADE[d]), jnp.int32)
                     for d in menu])
     # score: prefer long runs, then cheap (near) distances
@@ -219,6 +227,7 @@ def menu_candidates(data: jnp.ndarray, n: jnp.ndarray, *, menu: tuple,
     score = jnp.where(R >= 3, score, -1)
     out_runs, out_dists = [], []
     dist_arr = jnp.array([int(d) for d in menu], jnp.int32)
+    iota_d = jnp.arange(len(menu), dtype=jnp.int32)[:, None]
     for _ in range(k):
         best = jnp.argmax(score, axis=0)     # (N,)
         bruns = jnp.take_along_axis(R, best[None], axis=0)[0]
@@ -227,7 +236,7 @@ def menu_candidates(data: jnp.ndarray, n: jnp.ndarray, *, menu: tuple,
         ok = bscore >= 0
         out_runs.append(jnp.where(ok, bruns, 0))
         out_dists.append(jnp.where(ok, bdist, 1))
-        score = score.at[best, jnp.arange(N)].set(-1)
+        score = jnp.where(iota_d == best[None, :], -1, score)  # dense mask
     return jnp.stack(out_runs), jnp.stack(out_dists)
 
 
@@ -266,7 +275,7 @@ def _make_dp_kernel(k: int):
 
     def kernel(data_ref, clen_ref, cand_ref, dep_lit_ref, runcost_ref,
                ddep_ref, rdinfo_ref, dbase_ref, terms_ref, valid_ref,
-               cost_scr, plen_scr, pdist_scr):
+               cost_scr, plen_scr, pdist_scr, litc_scr):
         iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
         iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (NB + 264, 128), 0)
@@ -281,8 +290,8 @@ def _make_dp_kernel(k: int):
             depv = dep_lit_ref[pl.ds(v, 1)]     # (1, 128) replicated row
             return acc + jnp.where(data_ref[0] == v, depv, 0)
 
-        litc = jax.lax.fori_loop(0, 256, lit_body,
-                                 jnp.zeros((NB, 128), jnp.int32))
+        litc_scr[...] = jax.lax.fori_loop(0, 256, lit_body,
+                                          jnp.zeros((NB, 128), jnp.int32))
 
         def decade_of(dist):
             """Distance decade, closed form (no tables)."""
@@ -298,7 +307,7 @@ def _make_dp_kernel(k: int):
         def fwd(i, _):
             ci = cost_scr[pl.ds(i, 1)]          # (1, 128)
             # literal edge i → i+1
-            lc = ci + jax.lax.dynamic_slice_in_dim(litc, i, 1, 0)
+            lc = ci + litc_scr[pl.ds(i, 1)]
             old = cost_scr[pl.ds(i + 1, 1)]
             ok = (i < clen)
             bet = ok & (lc < old)
@@ -424,6 +433,7 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
             pltpu.VMEM((NB + 264, 128), jnp.int32),
             pltpu.VMEM((NB + 264, 128), jnp.int32),
             pltpu.VMEM((NB + 264, 128), jnp.int32),
+            pltpu.VMEM((NB, 128), jnp.int32),
         ],
         interpret=interpret,
     )(data2, clen, cand, dep_lit, runcost, ddep, rdinfo, dbase)
@@ -493,13 +503,11 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     buf[:n] = np.frombuffer(data, np.uint8)
     runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(n),
                                   menu=menu, k=KCAND)
-    # chunk-local clipping: an edge may not cross its chunk end (the DP is
-    # chunk-independent, like the reference's GRAPH_NODES windows)
-    cand = (jnp.asarray(dists) << 9) | jnp.asarray(runs)
-    cand = np.asarray(cand).reshape(KCAND, Tc, 128, NB)
-    cand = np.ascontiguousarray(cand.transpose(1, 0, 3, 2))
-    data2 = np.ascontiguousarray(
-        buf.reshape(Tc, 128, NB).transpose(0, 2, 1)).astype(np.int32)
+    # device-resident relayout — no host round trip of the (k, N) arrays
+    cand = (dists << 9) | runs
+    cand = jnp.transpose(cand.reshape(KCAND, Tc, 128, NB), (1, 0, 3, 2))
+    data2 = jnp.transpose(
+        jnp.asarray(buf.reshape(Tc, 128, NB)), (0, 2, 1)).astype(jnp.int32)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for c in range(chunks):
         clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
@@ -510,7 +518,7 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     for it in range(iters):
         dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
         terms, valid = optimal_parse_device(
-            jnp.asarray(data2), jnp.asarray(clen), jnp.asarray(cand),
+            data2, jnp.asarray(clen), cand,
             _rep128(dep_lit), _rep128(runcost), _rep128(ddep),
             _rep128(rdinfo), _rep128(dbase), k=KCAND, interpret=interpret)
         freq = np.asarray(_device_histogram(terms, valid)).astype(np.int64)

@@ -49,4 +49,59 @@ def test_size_ratios_vs_baseline():
     median = ratios[len(ratios) // 2]
     print(f"\nlevel-9 size vs GIMP-zlib9 baseline: median "
           f"{median:.4f}, min {ratios[0]:.4f}, max {ratios[-1]:.4f}")
-    assert median < 1.10, ratios
+    # the reference's own level 9 lands at ~0.98 of libpng@9; hold the
+    # line at 0.99 of the GIMP baselines (measured 0.978 in round 1)
+    assert median <= 0.99, ratios
+
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "data",
+                       "compression_goldens.json")
+
+
+def test_per_level_sizes_no_regression():
+    """Committed per-level (0-13) size goldens for every baseline: the
+    encoder must never regress a level between rounds (goldens are only
+    updated intentionally when a change improves sizes)."""
+    import json
+
+    if not native.available():
+        pytest.skip("native engine required")
+    if not os.path.exists(GOLDENS):
+        pytest.skip("goldens not generated")
+    goldens = json.load(open(GOLDENS))
+    bad = []
+    for name in _names():
+        img = png.Image.decompress_path(os.path.join(BASE, name))
+        for level in range(14):
+            got = len(img.compress_bytes(level=level))
+            want = goldens[name][str(level)]
+            if got > want:
+                bad.append((name, level, got, want))
+    assert not bad, bad[:10]
+
+
+def test_level9_vs_stdlib_zlib_yardstick():
+    """External yardstick (BASELINE.md analog): our level-9 zlib body on
+    the filtered scanlines must stay within 2 % of stdlib zlib -9 on the
+    same bytes (the reference beats libpng@9 by ~2 %)."""
+    import zlib as _z
+
+    if not native.available():
+        pytest.skip("native engine required")
+    ratios = []
+    for name in _names()[:10]:
+        img = png.Image.decompress_path(os.path.join(BASE, name))
+        W, H = img.size
+        storage = bytes(img.storage)
+        bpp = max(1, len(storage) // (W * H))
+        rows = np.frombuffer(storage, np.uint8)[:H * W * bpp].reshape(
+            H, W * bpp)
+        filt = native.filter_select(rows, bpp).tobytes()
+        ours = len(native.deflate(filt, 9, "zlib"))
+        std = len(_z.compress(filt, 9))
+        ratios.append(ours / std)
+    ratios.sort()
+    median = ratios[len(ratios) // 2]
+    print(f"\nlevel-9 vs stdlib zlib-9 on filtered rows: median "
+          f"{median:.4f}, worst {ratios[-1]:.4f}")
+    assert median <= 1.02, ratios
