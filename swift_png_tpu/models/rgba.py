@@ -25,8 +25,15 @@ class _RGBATarget(ColorTarget):
 
     # -- unpack -------------------------------------------------------------
 
-    def unpack(self, storage: np.ndarray, format, size) -> np.ndarray:
-        """storage → (y, x, 4) array in target precision."""
+    def unpack(self, storage: np.ndarray, format, size,
+               deindexer=None) -> np.ndarray:
+        """storage → (y, x, 4) array in target precision.
+
+        ``deindexer`` is the vectorized counterpart of the reference's
+        ``unpack(as:deindexer:)`` closure (``PNG.Color.swift:13-155``): a
+        callable ``palette → (n, 4) uint8 aggregate table``; the default
+        uses the palette entries directly (``PNG.Color.swift:159-228``).
+        """
         x, y = size
         kind = format.kind
         depth = format.pixel.depth
@@ -34,7 +41,11 @@ class _RGBATarget(ColorTarget):
         out = np.empty((y * x, 4), self.dtype)
 
         if format.is_indexed:
-            palette = np.array(format.palette, np.uint16)  # (n, 4) 8-bit values
+            if deindexer is not None:
+                palette = np.asarray(deindexer(format.palette),
+                                     np.uint16).reshape(-1, 4)
+            else:
+                palette = np.array(format.palette, np.uint16)  # (n, 4)
             idx = storage.reshape(-1).astype(np.int64)
             gathered = palette[idx]  # deindexer (PNG.Color.swift:159-228)
             out[:] = rescale(gathered, 8, self.bits)
@@ -78,18 +89,25 @@ class _RGBATarget(ColorTarget):
 
     # -- pack ---------------------------------------------------------------
 
-    def pack(self, pixels: np.ndarray, format) -> np.ndarray:
+    def pack(self, pixels: np.ndarray, format, indexer=None) -> np.ndarray:
         """(pixels, 4) array in target precision → storage bytes
-        (``PNG.RGBA.pack``, ``PNG.RGBA.swift:409-478``)."""
+        (``PNG.RGBA.pack``, ``PNG.RGBA.swift:409-478``).
+
+        ``indexer`` mirrors ``pack(_:as:indexer:)``: a callable
+        ``palette → (aggregates (m, 4) uint8 → (m,) indices)``; the
+        default is the exact-match palette lookup."""
         pixels = pixels.reshape(-1, 4).astype(self.dtype)
         kind = format.kind
         depth = format.pixel.depth
         if format.is_indexed:
+            small = (pixels >> (self.bits - 8)).astype(np.uint16) if self.bits == 16 \
+                else pixels
+            if indexer is not None:
+                fn = indexer(format.palette)
+                return np.asarray(fn(small.astype(np.uint8)), np.uint8)
             # default indexer: exact-match palette lookup
             lut = {tuple(int(v) for v in entry): i
                    for i, entry in enumerate(format.palette)}
-            small = (pixels >> (self.bits - 8)).astype(np.uint16) if self.bits == 16 \
-                else pixels
             idx = np.array(
                 [lut.get(tuple(int(v) for v in px), 0) for px in small],
                 np.uint8,

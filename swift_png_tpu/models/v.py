@@ -19,13 +19,19 @@ class _VTarget(ColorTarget):
         self.bits = bits
         self.dtype = np.uint8 if bits == 8 else np.uint16
 
-    def unpack(self, storage: np.ndarray, format, size) -> np.ndarray:
+    def unpack(self, storage: np.ndarray, format, size,
+               deindexer=None) -> np.ndarray:
         x, y = size
         depth = format.pixel.depth
         if format.is_indexed:
-            palette = np.array(format.palette, np.uint16)
             idx = storage.reshape(-1).astype(np.int64)
-            v = palette[idx][:, 0]  # deindexer: value = r
+            if deindexer is not None:
+                table = np.asarray(deindexer(format.palette),
+                                   np.uint16).reshape(-1)
+                v = table[idx]
+            else:
+                palette = np.array(format.palette, np.uint16)
+                v = palette[idx][:, 0]  # deindexer: value = r
             return rescale(v, 8, self.bits).reshape(y, x)
         channels = format.pixel.channels
         raw = samples_from_storage(storage, format.kind, channels)
@@ -36,10 +42,14 @@ class _VTarget(ColorTarget):
             v = scaled[:, 0]
         return v.reshape(y, x)
 
-    def pack(self, pixels: np.ndarray, format) -> np.ndarray:
+    def pack(self, pixels: np.ndarray, format, indexer=None) -> np.ndarray:
         pixels = pixels.reshape(-1).astype(self.dtype)
         channels = format.pixel.channels
         depth = format.pixel.depth
+        if format.is_indexed and indexer is not None:
+            small = (pixels >> (self.bits - 8)) if self.bits == 16 else pixels
+            fn = indexer(format.palette)
+            return np.asarray(fn(small.astype(np.uint8)), np.uint8)
         if format.is_indexed:
             # default indexer semantics: exact (v, v, v, opaque) entry or 0
             # (``PNG.Image.swift:1142``); matches RGBA.pack's exact lookup

@@ -18,7 +18,8 @@ class _VATarget(ColorTarget):
         self.bits = bits
         self.dtype = np.uint8 if bits == 8 else np.uint16
 
-    def unpack(self, storage: np.ndarray, format, size) -> np.ndarray:
+    def unpack(self, storage: np.ndarray, format, size,
+               deindexer=None) -> np.ndarray:
         x, y = size
         kind = format.kind
         depth = format.pixel.depth
@@ -26,9 +27,14 @@ class _VATarget(ColorTarget):
         out = np.empty((y * x, 2), self.dtype)
 
         if format.is_indexed:
-            palette = np.array(format.palette, np.uint16)
             idx = storage.reshape(-1).astype(np.int64)
-            gathered = palette[idx][:, [0, 3]]  # (v = r, alpha)
+            if deindexer is not None:
+                table = np.asarray(deindexer(format.palette),
+                                   np.uint16).reshape(-1, 2)
+                gathered = table[idx]
+            else:
+                palette = np.array(format.palette, np.uint16)
+                gathered = palette[idx][:, [0, 3]]  # (v = r, alpha)
             out[:] = rescale(gathered, 8, self.bits)
             return out.reshape(y, x, 2)
 
@@ -56,13 +62,17 @@ class _VATarget(ColorTarget):
             out[:, 1] = scaled[:, 3]
         return out.reshape(y, x, 2)
 
-    def pack(self, pixels: np.ndarray, format) -> np.ndarray:
+    def pack(self, pixels: np.ndarray, format, indexer=None) -> np.ndarray:
         """VA pixels → storage; color formats replicate v into rgb
         (``PNG.VA.pack``)."""
         pixels = pixels.reshape(-1, 2).astype(self.dtype)
         kind = format.kind
         depth = format.pixel.depth
         channels = format.pixel.channels
+        if format.is_indexed and indexer is not None:
+            small = (pixels >> (self.bits - 8)) if self.bits == 16 else pixels
+            fn = indexer(format.palette)
+            return np.asarray(fn(small.astype(np.uint8)), np.uint8)
         if format.is_indexed:
             lut = {}
             for i, (r, g, b, a) in enumerate(format.palette):

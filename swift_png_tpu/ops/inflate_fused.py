@@ -533,6 +533,8 @@ class InflateFused:
                 win = min(win * 4, win_cap)
                 t_max = min(t_max * 4, t_cap_pow)
                 continue
+            # distinct taxonomy per failure class, matching the host
+            # engine's cases (``LZ77.DecompressionError.swift:28-59``)
             if status & F_BAD_BLOCK:
                 raise DecompressionError.invalid_block_type_code(3)
             if status & F_BAD_PARITY:
@@ -540,9 +542,16 @@ class InflateFused:
                     0, 0)
             if status & F_BAD_DISTANCE:
                 raise DecompressionError.invalid_string_reference()
-            if status & (F_BAD_CODE | F_OUTPUT_MISMATCH | F_TOO_MANY_BLOCKS
-                         | F_OVERFLOW):
+            if status & F_BAD_CODE:
                 raise DecompressionError.invalid_huffman_table()
+            if status & F_OUTPUT_MISMATCH:
+                # stream produced the wrong byte count for the declared
+                # output — the device analog of a truncated/overlong body
+                raise DecompressionError.invalid_stream_checksum(0, 0)
+            if status & (F_TOO_MANY_BLOCKS | F_OVERFLOW):
+                # budgets exhausted after growing to the stream-derived
+                # ceilings: only malformed streams can get here
+                raise DecompressionError.invalid_block_type_code(3)
             raise DecompressionError.invalid_huffman_table()
 
     def inflate(self, data: bytes, out_size: int, format: str = "zlib",

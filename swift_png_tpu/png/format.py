@@ -116,18 +116,34 @@ class Format:
         if self.palette and len(self.palette) > max_count:
             raise ParsingError.invalidPaletteCount(
                 count=len(self.palette), max=max_count)
-        if self.kind in ("v1", "v2", "v4") and self.fill is not None:
+        scalar_kinds = ("v1", "v2", "v4", "v8", "v16")
+        triple_kinds = ("rgb8", "rgb16", "bgr8")
+        quad_kinds = ("rgba8", "rgba16", "bgra8")
+        if self.kind in scalar_kinds and self.fill is not None:
             if self.fill > max_sample:
                 raise ParsingError.invalidBackgroundSample(
                     sample=self.fill, max=max_sample)
+        if self.kind in triple_kinds + quad_kinds and self.fill is not None:
+            for sample in self.fill[:3]:
+                if sample > max_sample:
+                    raise ParsingError.invalidBackgroundSample(
+                        sample=sample, max=max_sample)
         if self.is_indexed and self.fill is not None:
             if self.fill > len(self.palette) - 1:
                 raise ParsingError.invalidBackgroundIndex(
                     index=self.fill, max=len(self.palette) - 1)
-        if self.kind in ("v1", "v2", "v4") and self.key is not None:
+        # NB: the reference only range-checks the chroma key when a fill is
+        # also present (a pattern-match quirk, ``PNG.Format.swift:334-338``);
+        # checking it unconditionally is strictly safer and PNG-spec-exact
+        if self.kind in scalar_kinds and self.key is not None:
             if self.key > max_sample:
                 raise ParsingError.invalidTransparencySample(
                     sample=self.key, max=max_sample)
+        if self.kind in triple_kinds and self.key is not None:
+            for sample in self.key[:3]:
+                if sample > max_sample:
+                    raise ParsingError.invalidTransparencySample(
+                        sample=sample, max=max_sample)
         return self
 
 

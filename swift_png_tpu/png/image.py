@@ -282,9 +282,16 @@ class Image:
 
     # -- pixel access ---------------------------------------------------------
 
-    def unpack(self, target):
+    def unpack(self, target, deindexer=None):
         """Unpack to a color target class from :mod:`swift_png_tpu.models`
-        (``PNG.Image.unpack(as:)``, ``PNG.Image.swift:1012``)."""
+        (``PNG.Image.unpack(as:)``, ``PNG.Image.swift:1012``).
+
+        ``deindexer`` is the vectorized analog of
+        ``unpack(as:deindexer:)`` (``PNG.Color.swift:13-155``): a callable
+        mapping the palette to an aggregate table for indexed formats."""
+        if deindexer is not None:
+            return target.unpack(self.storage, self.layout.format,
+                                 self.size, deindexer=deindexer)
         return target.unpack(self.storage, self.layout.format, self.size)
 
     def unpack_rgba16(self) -> np.ndarray:
@@ -299,12 +306,16 @@ class Image:
 
     @classmethod
     def pack(cls, pixels: np.ndarray, layout: Layout, metadata: Metadata | None = None,
-             target=None) -> "Image":
+             target=None, indexer=None) -> "Image":
         """Pack a pixel array into an image (``PNG.Image.init(packing:…)``,
         ``PNG.Image.swift:1080-1145``)."""
         from ..models import RGBA
 
         target = target or (RGBA.of16 if pixels.dtype == np.uint16 else RGBA.of8)
         y, x = pixels.shape[:2]
-        storage = target.pack(pixels.reshape(y * x, -1), layout.format)
+        if indexer is not None:
+            storage = target.pack(pixels.reshape(y * x, -1), layout.format,
+                                  indexer=indexer)
+        else:
+            storage = target.pack(pixels.reshape(y * x, -1), layout.format)
         return cls((x, y), layout, metadata or Metadata(), storage)

@@ -104,3 +104,65 @@ def test_scalar_target_roundtrip():
         storage = V.of8.pack(vals, fmt)
         back = V.of8.unpack(storage, fmt, (x, y))
         assert (back == vals).all(), kind
+
+
+def test_custom_deindexer_indexer_hooks():
+    """Vectorized analog of ``PNG.Color`` custom de/indexer closures
+    (``PNG.Color.swift:13-155``)."""
+    import numpy as np
+    from swift_png_tpu.models import RGBA, V
+    from swift_png_tpu.png.format import Format
+
+    palette = ((10, 20, 30, 255), (200, 100, 50, 128), (0, 0, 0, 0))
+    fmt = Format("indexed8", palette)
+    storage = np.array([0, 1, 2, 1], np.uint8)
+
+    # custom deindexer: swap channels and force alpha opaque
+    def deindexer(pal):
+        t = np.array(pal, np.uint8)
+        return np.stack([t[:, 2], t[:, 1], t[:, 0],
+                         np.full(len(pal), 255, np.uint8)], axis=1)
+
+    got = RGBA.of8.unpack(storage, fmt, (4, 1), deindexer=deindexer)
+    assert tuple(got[0, 1]) == (50, 100, 200, 255)
+
+    # custom indexer: nearest-entry by red channel only
+    def indexer(pal):
+        reds = np.array([p[0] for p in pal], np.int32)
+
+        def fn(aggregates):
+            d = np.abs(aggregates[:, 0].astype(np.int32)[:, None]
+                       - reds[None, :])
+            return np.argmin(d, axis=1).astype(np.uint8)
+
+        return fn
+
+    px = np.array([[199, 0, 0, 255], [9, 9, 9, 255]], np.uint8)
+    idx = RGBA.of8.pack(px, fmt, indexer=indexer)
+    assert list(idx) == [1, 0]
+
+    # V target custom deindexer: luma-ish table
+    def vdeindexer(pal):
+        t = np.array(pal, np.uint16)
+        return ((t[:, 0] + t[:, 1] + t[:, 2]) // 3).astype(np.uint8)
+
+    gv = V.of8.unpack(storage, fmt, (4, 1), deindexer=vdeindexer)
+    assert int(gv[0, 0]) == 20
+
+
+def test_format_validate_sample_ranges():
+    import pytest as _pytest
+
+    from swift_png_tpu.png.errors import ParsingError
+    from swift_png_tpu.png.format import Format
+
+    # v8 fill beyond 8-bit depth (bKGD carries 16-bit fields)
+    with _pytest.raises(ParsingError):
+        Format("v8", (), fill=256).validate()
+    # rgb8 key component out of range
+    with _pytest.raises(ParsingError):
+        Format("rgb8", (), key=(0, 300, 0)).validate()
+    # rgba16 fill is fine at the full range
+    Format("rgba16", (), fill=(65535, 0, 1)).validate()
+    # v16 key at max is fine
+    Format("v16", (), key=65535).validate()
