@@ -275,7 +275,7 @@ def _make_dp_kernel(k: int):
 
     def kernel(data_ref, clen_ref, cand_ref, dep_lit_ref, runcost_ref,
                ddep_ref, rdinfo_ref, dbase_ref, terms_ref, valid_ref,
-               cost_scr, plen_scr, pdist_scr, litc_scr):
+               hist_ref, cost_scr, plen_scr, pdist_scr, litc_scr):
         iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
         iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (NB + 264, 128), 0)
@@ -345,6 +345,10 @@ def _make_dp_kernel(k: int):
         # stream order for the bit packer
         terms_ref[...] = jnp.zeros((1, NB, 128), jnp.int32)
         valid_ref[...] = jnp.zeros((1, NB, 128), jnp.int32)
+        # per-tile symbol histogram (term frequencies for the tree build)
+        # accumulated in-kernel: one-hot adds instead of device scatters
+        hist_ref[...] = jnp.zeros((1, 384, 128), jnp.int32)
+        iota384 = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 0)
 
         def bwd(s, nxt):
             i = NB + 1 - s                      # NB … 1
@@ -370,6 +374,12 @@ def _make_dp_kernel(k: int):
                 on, term, terms_ref[0, pl.ds(i - 1, 1)])
             valid_ref[0, pl.ds(i - 1, 1)] = jnp.where(
                 on, 1, valid_ref[0, pl.ds(i - 1, 1)])
+            s1 = jnp.where(is_lit, byte, 257 + rd)       # (1, 128)
+            s1 = jnp.where(on, s1, -1)
+            s2 = jnp.where(on & ~is_lit, 288 + dd, -1)
+            hist_ref[0] = (hist_ref[0]
+                           + (iota384 == s1).astype(jnp.int32)
+                           + (iota384 == s2).astype(jnp.int32))
             return jnp.where(on, i - ln, nxt)
 
         jax.lax.fori_loop(1, NB + 1, bwd, clen + 0)
@@ -390,15 +400,16 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
       dep_lit/runcost/ddep/rdinfo/dbase: cost tables replicated to 128
         lanes: ``(256,128)/(256,128)/(32,128)/(256,128)/(32,128)``.
 
-    Returns ``(terms (Tc, NB, 128) int32, valid (Tc, NB, 128) int32)`` —
-    packed ``DeflatorTerm`` tokens at their chunk-end positions.
+    Returns ``(terms (Tc, NB, 128) int32, valid (Tc, NB, 128) int32,
+    freq (320,) int32)`` — packed ``DeflatorTerm`` tokens at their
+    chunk-end positions plus the in-kernel symbol histogram.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Tc = data2.shape[0]
     kernel = _make_dp_kernel(k)
-    terms, valid = pl.pallas_call(
+    terms, valid, hist = pl.pallas_call(
         kernel,
         grid=(Tc,),
         in_specs=[
@@ -424,10 +435,13 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 384, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tc, NB, 128), jnp.int32),
             jax.ShapeDtypeStruct((Tc, NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Tc, 384, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((NB + 264, 128), jnp.int32),
@@ -437,7 +451,7 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
         ],
         interpret=interpret,
     )(data2, clen, cand, dep_lit, runcost, ddep, rdinfo, dbase)
-    return terms, valid
+    return terms, valid, jnp.sum(hist, axis=(0, 2))[:320]
 
 
 def _device_histogram(terms, valid):
@@ -517,11 +531,11 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     terms = valid = None
     for it in range(iters):
         dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
-        terms, valid = optimal_parse_device(
+        terms, valid, hist = optimal_parse_device(
             data2, jnp.asarray(clen), cand,
             _rep128(dep_lit), _rep128(runcost), _rep128(ddep),
             _rep128(rdinfo), _rep128(dbase), k=KCAND, interpret=interpret)
-        freq = np.asarray(_device_histogram(terms, valid)).astype(np.int64)
+        freq = np.asarray(hist).astype(np.int64)
         freq[256] += 1
         lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
         dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)

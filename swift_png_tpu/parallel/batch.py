@@ -332,3 +332,62 @@ class BatchCodec:
             dest.format(chunks.IEND)
             outs.append(dest.getvalue())
         return outs
+
+
+def decode_indexed(pngs: list[bytes], backend: str = "auto"):
+    """Batched indexed decode: lex each PNG, read its ``spIx`` checkpoint
+    chunk, and run the whole batch through the checkpoint-parallel
+    lockstep inflate + wavefront defilter + convolve — the full device
+    decode pipeline for indexed files (written by
+    ``Image.compress(..., index=True)``).
+
+    Returns ``(B, H, W, 4)`` uint8 pixels on device, or ``None`` when any
+    file is outside the fast path (no index, interlaced, non-rgba8/rgb8) —
+    callers then use :class:`BatchCodec` / ``Image.decompress``.
+    """
+    from ..lz77.index import CheckpointIndex
+    from ..ops.inflate_checkpoint import CheckpointInflator
+    from ..png import chunk as chunks
+    from ..png import parsing
+    from ..png.chunk import ByteSource
+
+    bodies, indexes, headers = [], [], []
+    for data in pngs:
+        src = ByteSource(data)
+        src.signature()
+        type_, payload = src.chunk()
+        if type_ != chunks.IHDR:
+            return None
+        header = parsing.Header.parse(payload, "common")
+        idats, ix = [], None
+        while type_ != chunks.IEND:
+            type_, payload = src.chunk()
+            if type_ == chunks.IDAT:
+                idats.append(payload)
+            elif type_ == chunks.spIx:
+                ix = CheckpointIndex.parse(payload)
+        if ix is None or header.interlaced:
+            return None
+        if header.pixel.name not in ("rgba8", "rgb8", "v8", "va8"):
+            return None
+        full = b"".join(idats)
+        bodies.append(full[2:-4])
+        indexes.append(ix)
+        headers.append(header)
+    out_sizes = {ix.out_size for ix in indexes}
+    obs = {ix.ob for ix in indexes}
+    if len(out_sizes) != 1 or len(obs) != 1:
+        return None  # mixed shapes: bucket upstream
+    h0 = headers[0]
+    if any(h.pixel.name != h0.pixel.name or h.size != h0.size
+           for h in headers):
+        return None
+
+    eng = CheckpointInflator(ob=indexes[0].ob, backend=backend)
+    out, _ = eng.run(bodies, indexes, keep_on_device=True)
+    W, H = h0.size
+    channels = h0.pixel.channels
+    pitch1 = 1 + W * channels
+    filtered = out.reshape(len(pngs), H, pitch1)
+    return decode_stage(filtered, delay=channels, depth=8,
+                        channels=channels, width=W, bits=8)

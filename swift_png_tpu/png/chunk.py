@@ -35,6 +35,9 @@ tIME = "tIME"
 iTXt = "iTXt"
 tEXt = "tEXt"
 zTXt = "zTXt"
+# private ancillary safe-to-copy chunk: checkpoint decode index for the
+# parallel lockstep inflate (lz77/index.py); files remain 100 % standard
+spIx = "spIx"
 
 _CRITICAL = {IHDR, PLTE, IDAT, IEND}
 

@@ -219,12 +219,18 @@ class Image:
                 self.layout.transparency, cgbi, standard)
 
     def compress(self, stream: ByteDestination, level: int = 9,
-                 hint: int = 1 << 15, engine: str = "auto") -> None:
+                 hint: int = 1 << 15, engine: str = "auto",
+                 index: bool = False, index_ob: int = 256) -> None:
         """Encode to a bytestream with the reference's exact chunk order
         (``PNG.Image.compress``, ``PNG.Image.swift:576-668``).
 
         ``engine``: ``auto`` (native C++ deflate when built), ``native``,
-        or ``python`` (the bit-level reference implementation)."""
+        or ``python`` (the bit-level reference implementation).
+
+        ``index=True`` additionally embeds a private ancillary ``spIx``
+        chunk (after the IDAT run) carrying the checkpoint decode index —
+        the parallel lockstep inflate's entry points.  The file stays a
+        100 % standard PNG; foreign decoders skip the chunk."""
         stream.signature()
         header, palette, background, transparency, cgbi, standard = self.encode_chunks()
         if cgbi is not None:
@@ -262,17 +268,45 @@ class Image:
 
         encoder = Encoder(standard, self.layout.interlaced, level, hint,
                           engine)
+        idats = [] if index else None
         while True:
             data = encoder.pull(self.size, self.layout.format.pixel, self.collect)
             if data is None:
                 break
+            if idats is not None:
+                idats.append(data)
             stream.format(chunks.IDAT, data)
+        if idats is not None and standard == COMMON:
+            from ..lz77.index import build_index
+
+            full = b"".join(idats)
+            ix = build_index(full[2:-4], self._decompressed_size(), index_ob)
+            if ix is not None:
+                stream.format(chunks.spIx, ix.serialize())
         stream.format(chunks.IEND)
 
+    def _decompressed_size(self) -> int:
+        """Total filtered-scanline byte count (the zlib payload size)."""
+        x, y = self.size
+        pixel = self.layout.format.pixel
+        if not self.layout.interlaced:
+            pitch = (x * pixel.volume + 7) >> 3
+            return y * (1 + pitch)
+        total = 0
+        from .decoder import adam7_subimage
+
+        for z in range(7):
+            sx, sy = adam7_subimage((x, y), z)
+            if sx and sy:
+                total += sy * (1 + ((sx * pixel.volume + 7) >> 3))
+        return total
+
     def compress_bytes(self, level: int = 9, hint: int = 1 << 15,
-                       engine: str = "auto") -> bytes:
+                       engine: str = "auto", index: bool = False,
+                       index_ob: int = 256) -> bytes:
         dest = ByteDestination()
-        self.compress(dest, level, hint, engine)
+        self.compress(dest, level, hint, engine, index=index,
+                      index_ob=index_ob)
         return dest.getvalue()
 
     def compress_path(self, path: str, level: int = 9, hint: int = 1 << 15,

@@ -1,0 +1,50 @@
+"""spIx checkpoint-index chunk: standard-PNG compatibility + the batched
+indexed decode pipeline."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from swift_png_tpu import native, png
+from swift_png_tpu.parallel.batch import decode_indexed
+
+
+def _image(seed, H=48, W=40):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (H, W, 4), dtype=np.uint8)
+    px[..., 3] = 255
+    from swift_png_tpu.png.format import Format
+    from swift_png_tpu.png.format import Layout
+
+    layout = Layout(Format("rgba8", ()), False)
+    return png.Image.pack(px, layout)
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
+def test_spix_roundtrip_and_standard_compat():
+    img = _image(0)
+    data = img.compress_bytes(level=6, index=True)
+    # a standard decoder (ours, ignoring spIx) still decodes bit-exact
+    back = png.Image.decompress_bytes(data)
+    assert np.array_equal(back.unpack_rgba8(), img.unpack_rgba8())
+    # the chunk is present and round-trips through metadata.application
+    assert any(t == "spIx" for (t, _) in back.metadata.application)
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
+def test_decode_indexed_batch_bit_exact():
+    imgs = [_image(i) for i in range(3)]
+    pngs = [im.compress_bytes(level=6, index=True) for im in imgs]
+    pixels = decode_indexed(pngs, backend="xla")
+    assert pixels is not None
+    got = np.asarray(pixels)
+    for i, im in enumerate(imgs):
+        assert np.array_equal(got[i], im.unpack_rgba8()), i
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
+def test_decode_indexed_falls_back_without_index():
+    img = _image(1)
+    pngs = [img.compress_bytes(level=6)]  # no index chunk
+    assert decode_indexed(pngs) is None
