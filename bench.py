@@ -146,9 +146,27 @@ def main() -> None:
         _ = float(np.asarray(adler)[0]) + float(np.asarray(pixels[0, 0, 0, 0]))
         best = min(best, time.perf_counter() - t0)
 
+    # ---- encode side: level-9 deflate (device DP parse) -----------------
+    from swift_png_tpu.ops.deflate_optimal import deflate_device_optimal
+
+    enc_data = datas[0]
+    t9 = float("inf")
+    size9 = None
+    try:
+        s9 = deflate_device_optimal(enc_data, level=9, pitch=W * 4 + 1,
+                                    bpp=4, interpret=not on_tpu)
+        size9 = len(s9)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s9 = deflate_device_optimal(enc_data, level=9, pitch=W * 4 + 1,
+                                        bpp=4, interpret=not on_tpu)
+            t9 = min(t9, time.perf_counter() - t0)
+    except Exception:
+        pass
+
     nbytes = B * out_size
     gbps = nbytes / best / 1e9
-    print(json.dumps({
+    result = {
         "metric": "decode rgba8 512x512 batch8 "
                   "(indexed pallas inflate+defilter+convolve)",
         "value": round(gbps, 4),
@@ -158,7 +176,13 @@ def main() -> None:
         "total_ms": round(best * 1e3, 1),
         "compressed_ratio": round(
             sum(len(b) for b in bodies) / nbytes, 3),
-    }))
+    }
+    if size9 is not None and t9 < float("inf"):
+        result["deflate_l9_mbps"] = round(len(enc_data) / t9 / 1e6, 2)
+        if native.available():
+            result["deflate_l9_ratio_vs_native9"] = round(
+                size9 / len(native.deflate(enc_data, 9, "zlib")), 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
