@@ -77,7 +77,10 @@ class CheckpointIndex:
         tail[:-2] = self.bit_pos[2:]
         tail[-2:] = self.end_bit
         spans = (tail >> 3) - (self.bit_pos >> 3) + 1
-        return int(spans.max()) + 8
+        # +16: when ob < 259 a 258-run can span three units, so the
+        # unit-after-next's first token can BE this unit's tail token —
+        # cover its ≤48 bits plus the 56-bit lookahead
+        return int(spans.max()) + 16
 
     # ---- serialization (spIx chunk payload) ----------------------------
 
@@ -163,6 +166,28 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
     """
     if out_size == 0 or len(body) < 4:
         return None
+    try:
+        from .. import native
+
+        if native.available() and ob >= 64:
+            try:
+                r = native.build_index(body, out_size, ob)
+            except native.NativeError:
+                # keep the host taxonomy for malformed streams
+                raise DecompressionError.invalid_huffman_table()
+            if r is not None:
+                bit_pos, skip, n_tokens, lit, dist, end_bit, mb = r
+                return CheckpointIndex(
+                    ob=ob, out_size=out_size, bit_pos=bit_pos,
+                    skip=skip.astype(np.uint32),
+                    n_tokens=n_tokens.astype(np.uint32),
+                    lit_lengths=lit, dist_lengths=dist, end_bit=end_bit,
+                    match_bytes=mb)
+            return None
+    except ImportError:
+        pass
+    except OSError:
+        pass
     w = _BitWalker(body)
     final = w.read(1)
     btype = w.read(2)
@@ -283,8 +308,6 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
                 bit_pos[unit] = pos
                 skip[unit] = 0
             unit_end += ob
-        if o >= unit_end and unit + 1 == U:
-            break
     n_tokens[unit] = toks
     if o != out_size:
         return None  # declared size mismatch → let the general engine err

@@ -79,6 +79,12 @@ def _load():
     lib.spt_defilter.restype = ctypes.c_int
     lib.spt_defilter.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_int]
+    lib.spt_build_index.restype = ctypes.c_longlong
+    lib.spt_build_index.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_uint64, ctypes.c_uint32,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p]
     lib.spt_filter_select.restype = ctypes.c_int
     lib.spt_filter_select.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,
@@ -226,3 +232,34 @@ def defilter_batch(rows: np.ndarray, bpp: int, threads: int = 0) -> np.ndarray:
     B, H, pitch1 = rows.shape
     lib.spt_defilter_batch(rows.ctypes.data, B, H, pitch1 - 1, bpp, threads)
     return rows[:, :, 1:]
+
+
+def build_index(body: bytes, out_size: int, ob: int = 256):
+    """Native checkpoint-index walk (``lz77/index.py`` fast path).
+
+    Returns ``(bit_pos, skip, n_tokens, lit_lengths, dist_lengths,
+    end_bit, match_bytes)`` or ``None`` when the stream is outside the
+    single-dynamic-block fast path; raises :class:`NativeError` on
+    malformed streams.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    U = (out_size + ob - 1) // ob
+    if U == 0:
+        return None
+    bit_pos = np.zeros(U, np.uint64)
+    skip = np.zeros(U, np.uint32)
+    n_tokens = np.zeros(U, np.uint32)
+    lit = np.zeros(288, np.uint8)
+    dist = np.zeros(32, np.uint8)
+    info = np.zeros(2, np.uint64)
+    r = lib.spt_build_index(body, len(body), out_size, ob,
+                            bit_pos.ctypes.data, skip.ctypes.data,
+                            n_tokens.ctypes.data, lit.ctypes.data,
+                            dist.ctypes.data, info.ctypes.data)
+    if r < 0:
+        raise NativeError(int(r))
+    if r == 0:
+        return None
+    return bit_pos, skip, n_tokens, lit, dist, int(info[0]), int(info[1])

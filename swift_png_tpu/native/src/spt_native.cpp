@@ -548,4 +548,124 @@ int spt_defilter_batch(uint8_t* rows, int count, int H, int pitch, int bpp,
     return 0;
 }
 
-}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// checkpoint index builder (lz77/index.py fast path): one sequential walk
+// over a single-dynamic-block body recording the bit position of the first
+// token of every `ob`-output-byte unit + the mid-token skip.  Returns the
+// unit count, 0 when the stream is outside the fast path (caller falls
+// back to the general engines), or a negative error for malformed data.
+long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
+                          uint32_t ob, uint64_t* bit_pos, uint32_t* skip,
+                          uint32_t* n_tokens, uint8_t* lit_lengths,
+                          uint8_t* dist_lengths, uint64_t* info) {
+    if (!out_size || n < 4 || ob < 64) return 0;
+    BitReader br{body, n};
+    uint32_t hdr = br.read(3);
+    if ((hdr & 1) == 0 || (hdr >> 1) != 2) return 0;  // not final dynamic
+
+    int hlit = br.read(5) + 257;
+    int hdist = br.read(5) + 1;
+    int hclen = br.read(4) + 4;
+    if (hlit > 286 || hdist > 30) return SPT_E_TABLE;
+    uint8_t mlens[19] = {0};
+    for (int i = 0; i < hclen; i++) mlens[CLO[i]] = (uint8_t)br.read(3);
+    std::vector<uint32_t> meta;
+    int meta_w = build_table(mlens, 19, 7, meta);
+    if (meta_w < 0) return SPT_E_TABLE;
+    uint8_t lens[288 + 32] = {0};
+    int total = hlit + hdist;
+    for (int got = 0; got < total;) {
+        uint32_t e = meta[br.peek(meta_w)];
+        int l = e >> 16, sym = e & 0xFFFF;
+        if (!l) return SPT_E_CODELEN;
+        br.drop(l);
+        if (sym < 16) lens[got++] = (uint8_t)sym;
+        else if (sym == 16) {
+            if (!got) return SPT_E_CODELEN;
+            int r = 3 + br.read(2);
+            if (got + r > total) return SPT_E_CODELEN;
+            for (int i = 0; i < r; i++) lens[got + i] = lens[got - 1];
+            got += r;
+        } else {
+            int r = (sym == 17 ? 3 + br.read(3) : 11 + br.read(7));
+            if (got + r > total) return SPT_E_CODELEN;
+            got += r;  // lens already zero
+        }
+    }
+    memset(lit_lengths, 0, 288);
+    memset(dist_lengths, 0, 32);
+    memcpy(lit_lengths, lens, hlit);
+    memcpy(dist_lengths, lens + hlit, hdist);
+
+    std::vector<uint32_t> lit_table, dist_table;
+    int lit_w = build_table(lit_lengths, 288, 15, lit_table);
+    if (lit_w < 0) return SPT_E_TABLE;
+    bool have_dist = false;
+    for (int i = 0; i < 32; i++) have_dist |= dist_lengths[i] != 0;
+    int dist_w = 1;
+    if (have_dist) {
+        dist_w = build_table(dist_lengths, 32, 15, dist_table);
+        if (dist_w < 0) return SPT_E_TABLE;
+    } else {
+        dist_table.assign(2, 0);
+    }
+
+    uint64_t U = (out_size + ob - 1) / ob;
+    uint64_t o = 0, unit = 0, unit_end = ob, toks = 0, match_bytes = 0;
+    bit_pos[0] = br.pos * 8 - br.bits;
+    for (;;) {
+        uint64_t tbit = br.pos * 8 - br.bits;
+        uint32_t e = lit_table[br.peek(lit_w)];
+        int l = e >> 16, sym = e & 0xFFFF;
+        if (!l || br.overrun()) return SPT_E_TABLE;
+        br.drop(l);
+        uint64_t tlen;
+        if (sym < 256) {
+            tlen = 1;
+        } else if (sym == 256) {
+            break;
+        } else if (sym > 285) {
+            return SPT_E_TABLE;
+        } else {
+            int dec = sym - 257;
+            uint32_t run = RUN_BASE[dec] + br.read(RUN_EXTRA[dec]);
+            uint32_t e2 = dist_table[br.peek(dist_w)];
+            int dl = e2 >> 16, dsym = e2 & 0xFFFF;
+            if (!dl || dsym > 29) return SPT_E_TABLE;
+            br.drop(dl);
+            uint32_t dist = DIST_BASE[dsym] + br.read(DIST_EXTRA[dsym]);
+            if (dist > o) return SPT_E_DISTANCE;
+            match_bytes += run;
+            tlen = run;
+        }
+        toks++;
+        o += tlen;
+        if (o > out_size) return SPT_E_OUTPUT;
+        while (o >= unit_end && unit + 1 < U) {
+            n_tokens[unit] = (uint32_t)toks;
+            unit++;
+            if (o > unit_end) {
+                bit_pos[unit] = tbit;
+                skip[unit] = (uint32_t)(tlen - (o - unit_end));
+                toks = 1;
+            } else {
+                bit_pos[unit] = br.pos * 8 - br.bits;
+                skip[unit] = 0;
+                toks = 0;
+            }
+            unit_end += ob;
+        }
+    }
+    n_tokens[unit] = (uint32_t)toks;
+    if (o != out_size) return 0;
+    info[0] = br.pos * 8 - br.bits;  // end bit (after EOB)
+    info[1] = match_bytes;
+    for (uint64_t u = 0; u < U; u++) {
+        if (n_tokens[u] > 0xFFFF || skip[u] > 0xFFFF) return 0;
+        if (u && bit_pos[u] - bit_pos[u - 1] > 0xFFFFFFFFull) return 0;
+    }
+    return (long long)U;
+}
+
+}  // extern "C"\n

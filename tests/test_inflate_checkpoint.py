@@ -170,3 +170,50 @@ def test_cumsum_mxu_exact():
         x = rng.integers(0, 2, n, dtype=np.int32)
         got = np.asarray(_cumsum_mxu(jnp.asarray(x)))
         np.testing.assert_array_equal(got, np.cumsum(x))
+
+
+def test_native_index_matches_python():
+    from swift_png_tpu import native
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    import swift_png_tpu.lz77.index as IX
+
+    rng = np.random.default_rng(23)
+    for kind in ("noise", "matchy"):
+        if kind == "noise":
+            data = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+        else:
+            base = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+            data = base * 160
+        stream = one_block_zlib(data)
+        body = stream[2:-4]
+        ix_n = IX.build_index(body, len(data), ob=512)
+
+        # force the python walker by building without the native module
+        import swift_png_tpu.native as nat
+
+        avail = nat.available
+        nat.available = lambda: False
+        try:
+            ix_p = IX.build_index(body, len(data), ob=512)
+        finally:
+            nat.available = avail
+        assert ix_n is not None and ix_p is not None
+        np.testing.assert_array_equal(ix_n.bit_pos, ix_p.bit_pos)
+        np.testing.assert_array_equal(ix_n.skip, ix_p.skip)
+        np.testing.assert_array_equal(ix_n.n_tokens, ix_p.n_tokens)
+        np.testing.assert_array_equal(ix_n.lit_lengths, ix_p.lit_lengths)
+        np.testing.assert_array_equal(ix_n.dist_lengths, ix_p.dist_lengths)
+        assert ix_n.end_bit == ix_p.end_bit
+        assert ix_n.match_bytes == ix_p.match_bytes
+
+
+def test_small_ob_runs_span_three_units():
+    # ob=128 < 258: a full-length run can cover three units; the span
+    # sizing must still include the tail token's bits
+    data = (b"Q" * 120 + b"RS" * 20 + b"Q" * 500) * 40
+    stream = one_block_zlib(data)
+    eng = CheckpointInflator(ob=128)
+    out = eng.inflate_zlib_batch([stream], len(data), keep_on_device=False)
+    assert bytes(out[0]) == data
