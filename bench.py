@@ -62,6 +62,11 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:  # zstandard cache codec segfaults intermittently here
+        jax.config.update("jax_compilation_cache_compression_algorithm",
+                          "none")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from swift_png_tpu import native
@@ -71,7 +76,7 @@ def main() -> None:
     from swift_png_tpu.parallel.batch import decode_stage
 
     B, H, W = 8, 512, 512
-    OB = 256
+    OB = int(os.environ.get("SPT_BENCH_OB", "256"))
     pitch1 = 1 + W * 4
     out_size = H * pitch1
 

@@ -492,45 +492,70 @@ long long spt_deflate_blocks_w(const uint8_t* src, size_t n, uint8_t* dst,
                 pos = stop;
             }
         } else {
-            bool lazy = par.strategy == 1;
-            size_t pos = 0;
-            while (pos < n) {
-                if (terms.size() >= BLOCK_TERMS) {
-                    uint8_t ll[288], dl[30];
-                    trees_from_terms(terms, ll, dl);
-                    write_dynamic_block(bw, terms, false, ll, dl);
-                    terms.clear();
-                }
-                int limit = (int)std::min<size_t>(n - pos, 258);
-                win.insert_upto(pos + 1);
-                int run, dist;
-                win.best(pos, limit, run, dist);
-                if (run >= 6) {
-                    if (lazy && pos + 1 < n) {
-                        win.insert_upto(pos + 2);
-                        int run2, dist2;
-                        win.best(pos + 1,
-                                 (int)std::min<size_t>(n - pos - 1, 258),
-                                 run2, dist2);
-                        if (run2 > run) {
-                            terms.push_back(pack_literal(src[pos]));
-                            terms.push_back(pack_match(run2, dist2));
-                            win.insert_upto(pos + 1 + run2);
-                            pos += 1 + run2;
-                            continue;
-                        }
+            // greedy/lazy parse under a given short-match policy: the
+            // reference accepts only run > 5 (DeflatorWindow.match,
+            // ...Window.swift:121-130); runs of 4-5 at cheap distances
+            // win big on short-match data (16-bit photographic rows),
+            // so both policies are tried and the smaller stream kept
+            auto parse = [&](int min_run, size_t short_far,
+                             BitWriter& out) {
+                Searcher w2(src, n, par.attempts, par.goal,
+                            (size_t)1 << exponent);
+                std::vector<uint32_t> tv;
+                tv.reserve(BLOCK_TERMS + 4);
+                bool lazy = par.strategy == 1;
+                size_t pos = 0;
+                auto ok = [&](int run, int dist) {
+                    return run >= 6 || (run >= min_run
+                                        && (size_t)dist < short_far);
+                };
+                while (pos < n) {
+                    if (tv.size() >= BLOCK_TERMS) {
+                        uint8_t ll[288], dl[30];
+                        trees_from_terms(tv, ll, dl);
+                        write_dynamic_block(out, tv, false, ll, dl);
+                        tv.clear();
                     }
-                    terms.push_back(pack_match(run, dist));
-                    win.insert_upto(pos + run);
-                    pos += run;
-                } else {
-                    terms.push_back(pack_literal(src[pos]));
-                    pos += 1;
+                    int limit = (int)std::min<size_t>(n - pos, 258);
+                    w2.insert_upto(pos + 1);
+                    int run, dist;
+                    w2.best(pos, limit, run, dist);
+                    if (ok(run, dist)) {
+                        if (lazy && pos + 1 < n) {
+                            w2.insert_upto(pos + 2);
+                            int run2, dist2;
+                            w2.best(pos + 1,
+                                    (int)std::min<size_t>(n - pos - 1, 258),
+                                    run2, dist2);
+                            if (run2 > run && ok(run2, dist2)) {
+                                tv.push_back(pack_literal(src[pos]));
+                                tv.push_back(pack_match(run2, dist2));
+                                w2.insert_upto(pos + 1 + run2);
+                                pos += 1 + run2;
+                                continue;
+                            }
+                        }
+                        tv.push_back(pack_match(run, dist));
+                        w2.insert_upto(pos + run);
+                        pos += run;
+                    } else {
+                        tv.push_back(pack_literal(src[pos]));
+                        pos += 1;
+                    }
                 }
-            }
-            uint8_t ll[288], dl[30];
-            trees_from_terms(terms, ll, dl);
-            write_dynamic_block(bw, terms, true, ll, dl);
+                uint8_t ll[288], dl[30];
+                trees_from_terms(tv, ll, dl);
+                write_dynamic_block(out, tv, true, ll, dl);
+            };
+            BitWriter a, b;
+            parse(6, 0, a);         // reference policy
+            parse(4, 1024, b);      // short-cheap policy
+            size_t abits = a.out.size() * 8 + a.bits;
+            size_t bbits = b.out.size() * 8 + b.bits;
+            BitWriter& winner = bbits < abits ? b : a;
+            // bit-append the winning block section after the header
+            for (uint8_t byte : winner.out) bw.write(byte, 8);
+            if (winner.bits) bw.write((uint32_t)winner.acc, winner.bits);
         }
     }
     bw.pad();

@@ -24,6 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 # and their programs are identical across runs
 jax.config.update("jax_compilation_cache_dir",
                   "/tmp/jax_cache_swift_png_tpu")
+# the zstandard codec in the persistent cache intermittently segfaults in
+# this environment (observed in cache read AND write paths); store raw
+try:
+    jax.config.update("jax_compilation_cache_compression_algorithm", "none")
+except Exception:
+    pass
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE = "/root/reference"
