@@ -454,21 +454,6 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
     return terms, valid, jnp.sum(hist, axis=(0, 2))[:320]
 
 
-def _device_histogram(terms, valid):
-    """320-bin term frequencies on device (runs + literals + decades)."""
-    t = jax.lax.bitcast_convert_type(terms.reshape(-1), jnp.uint32)
-    v = valid.reshape(-1) != 0
-    is_lit = (t >> 27 == 31) & ((t & 0x100) == 0)
-    litsym = jnp.where(v & is_lit, (t & 0xFF).astype(jnp.int32), 320)
-    runsym = jnp.where(v & ~is_lit, 257 + (t & 0xFF).astype(jnp.int32), 320)
-    dsym = jnp.where(v & ~is_lit, 288 + (t >> 27).astype(jnp.int32), 320)
-    freq = jnp.zeros(321, jnp.int32)
-    freq = freq.at[litsym].add(1, mode="drop")
-    freq = freq.at[runsym].add(1, mode="drop")
-    freq = freq.at[dsym].add(1, mode="drop")
-    return freq[:320]
-
-
 def deflate_device_optimal(data: bytes, level: int = 9,
                            pitch: int = 0, bpp: int = 4,
                            interpret: bool | None = None,
