@@ -62,11 +62,6 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    try:  # zstandard cache codec segfaults intermittently here
-        jax.config.update("jax_compilation_cache_compression_algorithm",
-                          "none")
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     from swift_png_tpu import native

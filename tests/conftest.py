@@ -20,17 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: the device-kernel tests are compile-heavy
-# and their programs are identical across runs
-jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/jax_cache_swift_png_tpu")
-# the zstandard codec in the persistent cache intermittently segfaults in
-# this environment (observed in cache read AND write paths); store raw
-try:
-    jax.config.update("jax_compilation_cache_compression_algorithm", "none")
-except Exception:
-    pass
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for tests: this environment's zstandard
+# cache codec segfaults intermittently under concurrent access (observed
+# in both the read and write paths), and CPU compiles are cheap anyway
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 REFERENCE = "/root/reference"
 

@@ -146,3 +146,44 @@ def test_scalar_pack_indexed_exact_match():
     fmt = Format("indexed8", ((0, 0, 0, 255), (7, 1, 2, 255), (7, 7, 7, 255)))
     idx = V.of8.pack(np.array([[7, 0]], np.uint8), fmt)
     assert list(idx) == [2, 0]
+
+
+def test_fuzz_round2_engines_differential():
+    """Randomized differential over the round-2 engines: segmented
+    parallel deflate, device optimal parse, and the indexed lockstep
+    inflate all agree with stdlib zlib."""
+    import zlib
+
+    import numpy as np
+
+    from swift_png_tpu import native
+    from swift_png_tpu.ops.deflate_optimal import deflate_device_optimal
+    from swift_png_tpu.parallel.blocks import deflate_segmented
+    from swift_png_tpu.ops.inflate_checkpoint import CheckpointInflator
+
+    rng = np.random.default_rng(2026)
+    eng = CheckpointInflator(ob=512)
+    for trial in range(12):
+        n = int(rng.integers(1, 30_000))
+        style = trial % 4
+        if style == 0:
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif style == 1:
+            data = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+        elif style == 2:
+            base = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+            data = (base * (n // 64 + 1))[:n]
+        else:
+            data = bytes(np.repeat(
+                rng.integers(0, 256, max(1, n // 100), dtype=np.uint8),
+                100))[:n]
+        s1 = deflate_segmented(data, level=int(rng.integers(0, 8)),
+                               segments=int(rng.integers(1, 6)))
+        assert zlib.decompress(s1) == data, (trial, "segmented")
+        s2 = deflate_device_optimal(data, level=int(rng.integers(8, 14)))
+        assert zlib.decompress(s2) == data, (trial, "optimal")
+        if native.available() and n >= 8:
+            s3 = native.deflate(data, 6, "zlib", block_terms=1 << 22)
+            out = eng.inflate_zlib_batch([s3], n, keep_on_device=False)
+            if out is not None:
+                assert bytes(out[0]) == data, (trial, "indexed")
