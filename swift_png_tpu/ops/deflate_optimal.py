@@ -46,7 +46,7 @@ from ..lz77.huffman import lengths_from_frequencies
 __all__ = ["menu_candidates", "optimal_parse_device", "deflate_device_optimal"]
 
 NB = 1024   # DP chunk length (bytes per lane)
-KCAND = 4   # match edges per position fed to the DP
+KCAND = 2   # match edges per position fed to the DP (k=4 measured +0.008% size)
 
 
 # ---------------------------------------------------------------------------
