@@ -103,12 +103,10 @@ def main() -> None:
     def inflate():
         if eng.backend == "pallas":
             return inflate_indexed_pallas(
-                prep["spans3"], prep["meta"], prep["params"],
-                prep["lit_attr"], prep["dist_attr"], ob=OB, n_streams=B,
+                prep["kbound"], prep["spans3"], prep["meta"],
+                prep["tabs"], prep["symtab"], ob=OB, n_streams=B,
                 out_size=out_size, expand_cap=expand_cap,
-                k_max=prep["k_max"], S=prep["S"],
-                tiles_per_stream=prep["tiles_per_stream"],
-                interpret=not on_tpu)
+                S=prep["S"], interpret=not on_tpu)
         from swift_png_tpu.ops.inflate_checkpoint import inflate_indexed
 
         return inflate_indexed(

@@ -32,9 +32,10 @@ import numpy as np
 from . import constants as C
 from .errors import DecompressionError
 
-__all__ = ["CheckpointIndex", "build_index", "INDEX_VERSION"]
+__all__ = ["CheckpointIndex", "build_index", "INDEX_VERSION", "MATCH_SEG"]
 
 INDEX_VERSION = 1
+MATCH_SEG = 64   # output bytes per match-segment (expansion compaction)
 
 
 @dataclass
@@ -57,6 +58,9 @@ class CheckpointIndex:
     dist_lengths: np.ndarray   # (32,) uint8 — distance code lengths
     end_bit: int               # bit position after the EOB token
     match_bytes: int = 0       # total bytes produced by match tokens
+    match_segs: int = -1       # MATCH_SEG-byte segments containing a match
+                               # byte (-1 = unknown; sizes the device
+                               # expansion's segment compaction)
 
     @property
     def units(self) -> int:
@@ -176,13 +180,13 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
                 # keep the host taxonomy for malformed streams
                 raise DecompressionError.invalid_huffman_table()
             if r is not None:
-                bit_pos, skip, n_tokens, lit, dist, end_bit, mb = r
+                bit_pos, skip, n_tokens, lit, dist, end_bit, mb, ms = r
                 return CheckpointIndex(
                     ob=ob, out_size=out_size, bit_pos=bit_pos,
                     skip=skip.astype(np.uint32),
                     n_tokens=n_tokens.astype(np.uint32),
                     lit_lengths=lit, dist_lengths=dist, end_bit=end_bit,
-                    match_bytes=mb)
+                    match_bytes=mb, match_segs=ms)
             return None
     except ImportError:
         pass
@@ -257,6 +261,8 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
     bit_pos[0] = pos
     toks = 0
     match_bytes = 0
+    match_segs = 0
+    last_seg = -1
     nbits = len(body) * 8
     while True:
         if pos + 15 > nbits and pos + 1 > nbits:
@@ -291,6 +297,9 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
             if dist > o:
                 raise DecompressionError.invalid_string_reference()
             match_bytes += run
+            s1 = (o + run - 1) // MATCH_SEG
+            match_segs += s1 - max(o // MATCH_SEG - 1, last_seg)
+            last_seg = s1
             tpos, tlen = pos, run
             pos += ln + eb + dln + db
         toks += 1
@@ -319,4 +328,4 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
         ob=ob, out_size=out_size, bit_pos=bit_pos, skip=skip,
         n_tokens=n_tokens, lit_lengths=lit_lengths.astype(np.uint8),
         dist_lengths=dist_lengths.astype(np.uint8), end_bit=pos,
-        match_bytes=match_bytes)
+        match_bytes=match_bytes, match_segs=match_segs)

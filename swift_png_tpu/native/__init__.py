@@ -253,7 +253,7 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
     n_tokens = np.zeros(U, np.uint32)
     lit = np.zeros(288, np.uint8)
     dist = np.zeros(32, np.uint8)
-    info = np.zeros(2, np.uint64)
+    info = np.zeros(3, np.uint64)
     r = lib.spt_build_index(body, len(body), out_size, ob,
                             bit_pos.ctypes.data, skip.ctypes.data,
                             n_tokens.ctypes.data, lit.ctypes.data,
@@ -262,4 +262,4 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
         raise NativeError(int(r))
     if r == 0:
         return None
-    return bit_pos, skip, n_tokens, lit, dist, int(info[0]), int(info[1])
+    return bit_pos, skip, n_tokens, lit, dist, int(info[0]), int(info[1]), int(info[2])

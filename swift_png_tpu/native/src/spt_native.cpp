@@ -613,6 +613,10 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
 
     uint64_t U = (out_size + ob - 1) / ob;
     uint64_t o = 0, unit = 0, unit_end = ob, toks = 0, match_bytes = 0;
+    // count 64-byte output segments containing >= 1 match byte (sizes the
+    // device expansion's segment compaction exactly)
+    uint64_t match_segs = 0;
+    long long last_seg = -1;
     bit_pos[0] = br.pos * 8 - br.bits;
     for (;;) {
         uint64_t tbit = br.pos * 8 - br.bits;
@@ -637,6 +641,11 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             uint32_t dist = DIST_BASE[dsym] + br.read(DIST_EXTRA[dsym]);
             if (dist > o) return SPT_E_DISTANCE;
             match_bytes += run;
+            long long s0 = (long long)(o >> 6);
+            long long s1 = (long long)((o + run - 1) >> 6);
+            long long lo = (s0 - 1 > last_seg) ? s0 - 1 : last_seg;
+            match_segs += (uint64_t)(s1 - lo);
+            last_seg = s1;
             tlen = run;
         }
         toks++;
@@ -661,6 +670,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
     if (o != out_size) return 0;
     info[0] = br.pos * 8 - br.bits;  // end bit (after EOB)
     info[1] = match_bytes;
+    info[2] = match_segs;
     for (uint64_t u = 0; u < U; u++) {
         if (n_tokens[u] > 0xFFFF || skip[u] > 0xFFFF) return 0;
         if (u && bit_pos[u] - bit_pos[u - 1] > 0xFFFFFFFFull) return 0;

@@ -43,7 +43,8 @@ from ..lz77 import constants as C
 from ..lz77.deflate import Depths, search_parameters
 from ..lz77.huffman import lengths_from_frequencies
 
-__all__ = ["menu_candidates", "optimal_parse_device", "deflate_device_optimal"]
+__all__ = ["menu_candidates", "menu_candidates_pallas",
+           "optimal_parse_device", "deflate_device_optimal"]
 
 NB = 1024   # DP chunk length (bytes per lane)
 KCAND = 2   # match edges per position fed to the DP (k=4 measured +0.008% size)
@@ -238,6 +239,154 @@ def menu_candidates(data: jnp.ndarray, n: jnp.ndarray, *, menu: tuple,
         out_dists.append(jnp.where(ok, bdist, 1))
         score = jnp.where(iota_d == best[None, :], -1, score)  # dense mask
     return jnp.stack(out_runs), jnp.stack(out_dists)
+
+
+# ---------------------------------------------------------------------------
+# candidate generation, Pallas production path
+# ---------------------------------------------------------------------------
+
+CR2 = 512          # positions per lane chunk (chunk-per-lane layout)
+CW = CR2 + 512     # eq rows per lane incl. forward halo (doubling reach 511)
+DMAX_STEP = 8      # menu slots are padded to a multiple of this
+
+
+def _make_cand_kernel(dmax: int):
+    """Candidate kernel: log-doubling suffix runs + running top-2, VMEM.
+
+    The XLA formulation (:func:`menu_candidates`) pays ~20 barrier-
+    separated HBM passes over the ``(D, N)`` grid (measured 266–412
+    ms/MB); a first Pallas port with flat row-major layout spent all its
+    time in ``pltpu.roll`` (measured ~1.4 ns/element — cross-lane
+    shuffles are ~100× a vector op).  This version uses a
+    **chunk-per-lane** layout: lane ``l`` of a tile holds positions
+    ``[l·CR2, (l+1)·CR2)`` consecutively along sublanes plus a 512-row
+    halo duplicating the next chunk's head, so every shift in the
+    doubling recurrence is a static row slice — zero rolls, zero
+    gathers.  The shifted-equality inputs are built on the XLA side
+    (dense shifts are what XLA is good at) with **dynamic** distances,
+    so one compiled kernel serves every menu.
+    """
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    def kernel(dmeta_ref, eq_ref, out_ref):
+        z = jnp.zeros((256, 128), jnp.int32)
+        s1 = jnp.full((CR2, 128), -1, jnp.int32)
+        rd1 = jnp.zeros((CR2, 128), jnp.int32)
+        dd1 = jnp.ones((CR2, 128), jnp.int32)
+        s2 = jnp.full((CR2, 128), -1, jnp.int32)
+        rd2 = jnp.zeros((CR2, 128), jnp.int32)
+        dd2 = jnp.ones((CR2, 128), jnp.int32)
+        for j in range(dmax):
+            dist = dmeta_ref[j, 0]
+            dcost = dmeta_ref[j, 1]
+            e = eq_ref[0, j].astype(jnp.int32)         # (CW, 128)
+            rr = jnp.concatenate([e, z], axis=0)
+            # suffix run by log-doubling; all shifts are row slices, and
+            # the 256 zero slack rows absorb the out-of-range reads (the
+            # core rows' 511-position dependency cone stays inside CW)
+            for lv in range(9):
+                step = 1 << lv
+                core = rr[:CW] + jnp.where(rr[:CW] == step,
+                                           rr[step:step + CW], 0)
+                rr = jnp.concatenate([core, z], axis=0)
+            rd = jnp.minimum(rr[:CR2], 258)
+            score = jnp.where((rd >= 3) & (dist > 0), rd * 64 - dcost, -1)
+            b1 = score > s1
+            b2 = ~b1 & (score > s2)
+            s2 = jnp.where(b1, s1, jnp.where(b2, score, s2))
+            rd2 = jnp.where(b1, rd1, jnp.where(b2, rd, rd2))
+            dd2 = jnp.where(b1, dd1, jnp.where(b2, dist, dd2))
+            s1 = jnp.where(b1, score, s1)
+            rd1 = jnp.where(b1, rd, rd1)
+            dd1 = jnp.where(b1, dist, dd1)
+        out_ref[0, 0] = jnp.where(s1 >= 0, (dd1 << 9) | rd1, 1 << 9)
+        out_ref[0, 1] = jnp.where(s2 >= 0, (dd2 << 9) | rd2, 1 << 9)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dmax", "interpret"))
+def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
+                           interpret: bool = False):
+    """Pallas candidate search: packed ``dist<<9 | run`` per position.
+
+    Args:
+      dists/decades: ``(dmax,)`` int32 — menu distances (0 = unused
+        slot) and their decade costs; **dynamic**, so the kernel is
+        compiled once per (dmax, length-bucket), never per menu.
+      data: ``(Ntot,)`` uint8, ``Ntot`` a multiple of ``CR2·128``.
+      n: scalar int32 — live byte count.
+
+    Returns ``(2, Ntot)`` int32 top-2 candidates in position order.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Ntot = data.shape[0]
+    T = Ntot // (CR2 * 128)
+    pos = jnp.arange(Ntot, dtype=jnp.int32)
+    live = pos < n
+    padded = jnp.concatenate([jnp.zeros(1 << 15, jnp.uint8), data])
+    eqs = []
+    for j in range(dmax):
+        d = dists[j]
+        sh = jax.lax.dynamic_slice(padded, ((1 << 15) - d,), (Ntot,))
+        eqs.append(((data == sh) & live & (pos >= d)).astype(jnp.int8))
+    eq = jnp.stack(eqs)                                # (dmax, Ntot)
+    base = eq.reshape(dmax, T, 128, CR2)
+    halo = jnp.concatenate(
+        [eq[:, CR2:], jnp.zeros((dmax, CR2), jnp.int8)],
+        axis=1).reshape(dmax, T, 128, CR2)[..., :CW - CR2]
+    blk = jnp.transpose(jnp.concatenate([base, halo], axis=3),
+                        (1, 0, 3, 2))                  # (T, dmax, CW, 128)
+    dmeta = jnp.stack([dists, decades], axis=1)        # (dmax, 2)
+    out = pl.pallas_call(
+        _make_cand_kernel(dmax),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dmax, CW, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, CR2, 128), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 2, CR2, 128), jnp.int32),
+        interpret=interpret,
+    )(dmeta, blk)
+    return jnp.transpose(out, (1, 0, 3, 2)).reshape(2, Ntot)
+
+
+def candidates_device(data: bytes, menu: tuple, Tc: int,
+                      interpret: bool) -> jnp.ndarray:
+    """Top-2 candidates relaid out for the DP kernel: ``(Tc, 2, NB, 128)``.
+
+    Uses the Pallas kernel on TPU and the XLA formulation elsewhere
+    (``interpret`` mirrors :func:`deflate_device_optimal`'s backend
+    selection; the two paths are differentially tested).
+    """
+    n = len(data)
+    Npad = Tc * 128 * NB
+    if interpret:
+        buf = np.zeros(Npad, np.uint8)
+        buf[:n] = np.frombuffer(data, np.uint8)
+        runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(n),
+                                      menu=menu, k=KCAND)
+        cand = (dists << 9) | runs
+        return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB),
+                             (1, 0, 3, 2))
+    dmax = -(-max(len(menu), 1) // DMAX_STEP) * DMAX_STEP
+    dv = np.zeros(dmax, np.int32)
+    cv = np.zeros(dmax, np.int32)
+    dv[:len(menu)] = list(menu)
+    cv[:len(menu)] = [int(C.DISTANCE_DECADE[d]) for d in menu]
+    Ntot = -(-Npad // (CR2 * 128)) * (CR2 * 128)
+    buf = np.zeros(Ntot, np.uint8)
+    buf[:n] = np.frombuffer(data, np.uint8)
+    cand = menu_candidates_pallas(
+        jnp.asarray(dv), jnp.asarray(cv), jnp.asarray(buf),
+        jnp.int32(n), dmax=dmax)
+    cand = cand[:, :Npad]
+    return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB), (1, 0, 3, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -500,11 +649,8 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     Npad = Tc * 128 * NB
     buf = np.zeros(Npad, np.uint8)
     buf[:n] = np.frombuffer(data, np.uint8)
-    runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(n),
-                                  menu=menu, k=KCAND)
-    # device-resident relayout — no host round trip of the (k, N) arrays
-    cand = (dists << 9) | runs
-    cand = jnp.transpose(cand.reshape(KCAND, Tc, 128, NB), (1, 0, 3, 2))
+    # device-resident candidate search + relayout (Pallas on TPU)
+    cand = candidates_device(data, menu, Tc, interpret)
     data2 = jnp.transpose(
         jnp.asarray(buf.reshape(Tc, 128, NB)), (0, 2, 1)).astype(jnp.int32)
     clen = np.zeros((Tc, 8, 128), np.int32)

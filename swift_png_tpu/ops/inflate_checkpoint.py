@@ -293,18 +293,59 @@ def _adler_batch(out, out_size):
     return (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
 
 
-def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap):
-    """Shared tail: compacted pointer-doubling expansion + Adler-32."""
+def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
+    """Compacted pointer-doubling expansion of LZ77 back-references.
+
+    Compaction is two-level (measured: a flat N-sized scatter cost ~31 ms
+    at N = 8.6 M — most of the decode tail): first the ``MATCH_SEG``-byte
+    *segments* containing any match byte are compacted (an N/SEG-sized
+    scatter + a row gather, both cheap), then the bytes within the
+    gathered segments (a ``seg_cap·SEG``-sized scatter — the index counts
+    match segments exactly, so ``seg_cap`` is tight).
+
+    Returns ``(out (N,) uint8, ovf, cidx (expand_cap,) int32,
+    src (expand_cap,) uint8)`` — ``cidx`` holds the flat positions of the
+    match bytes (sentinel ``N`` in unused slots) and ``src`` their
+    resolved values (the Adler combine needs both).
+    """
+    from ..lz77.index import MATCH_SEG as SEG
+
     N = ptr.shape[0]
-    # ---- expansion: compacted pointer doubling ------------------------
     is_m = (ptr != jnp.arange(N, dtype=jnp.int32))
-    cs = _cumsum_mxu(is_m.astype(jnp.int32))
-    pos = cs - 1
-    keep = is_m & (pos < expand_cap)
-    cidx = jnp.full(expand_cap, N, jnp.int32).at[
-        jnp.where(keep, pos, expand_cap)  # out-of-bounds ⇒ dropped
-    ].set(jnp.where(keep, jnp.arange(N, dtype=jnp.int32), N),
+    Np = -(-N // SEG) * SEG
+    nseg = Np // SEG
+    if seg_cap is None:
+        seg_cap = min(nseg, expand_cap)
+    seg_cap = min(seg_cap, nseg)
+
+    ptr2d = jnp.pad(ptr, (0, Np - N + SEG),
+                    constant_values=0)  # +1 sentinel row
+    ptr2d = (ptr2d.at[N:].set(jnp.arange(N, Np + SEG, dtype=jnp.int32))
+             .reshape(nseg + 1, SEG))
+    segm = is_m.astype(jnp.int32)
+    segm = jnp.pad(segm, (0, Np - N)).reshape(nseg, SEG)
+    seg_has = jnp.sum(segm, axis=1) > 0
+    cs = _cumsum_mxu(seg_has.astype(jnp.int32))
+    spos = cs - 1
+    keep = seg_has & (spos < seg_cap)
+    seg_ids = jnp.full(seg_cap, nseg, jnp.int32).at[
+        jnp.where(keep, spos, seg_cap)
+    ].set(jnp.where(keep, jnp.arange(nseg, dtype=jnp.int32), nseg),
           mode="drop")
+    seg_ovf = jnp.sum(seg_has.astype(jnp.int32)) > seg_cap
+
+    # gather live segments (row gather — DMA-like, not element-priced)
+    gptr = ptr2d[seg_ids]                               # (seg_cap, SEG)
+    gidx = (seg_ids[:, None] * SEG
+            + jnp.arange(SEG, dtype=jnp.int32)[None, :])
+    flat_m = (gptr != gidx).reshape(-1)
+    gidx = gidx.reshape(-1)
+    cs2 = _cumsum_mxu(flat_m.astype(jnp.int32))
+    pos2 = cs2 - 1
+    keep2 = flat_m & (pos2 < expand_cap)
+    cidx = jnp.full(expand_cap, N, jnp.int32).at[
+        jnp.where(keep2, pos2, expand_cap)  # out-of-bounds ⇒ dropped
+    ].set(jnp.where(keep2, gidx, N), mode="drop")
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
     p = ptr_pad[jnp.clip(cidx, 0, N)]
 
@@ -322,60 +363,132 @@ def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap):
     src = out[jnp.clip(p, 0, N - 1)]
     out = out.at[jnp.clip(cidx, 0, N - 1)].set(
         jnp.where(cidx < N, src, out[jnp.clip(cidx, 0, N - 1)]))
-    ovf = jnp.sum(is_m) > expand_cap
+    ovf = (jnp.sum(is_m) > expand_cap) | seg_ovf
+    return out, ovf, cidx, jnp.where(cidx < N, src, 0)
 
+
+def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap,
+            seg_cap: int | None = None):
+    """Shared tail: compacted pointer-doubling expansion + Adler-32."""
+    out, ovf, _, _ = _expand(ptr, litv, expand_cap, seg_cap)
     out2 = out.reshape(B, Opad)
     adler = _adler_batch(out2, out_size)
     return out2[:, :out_size], flag, adler, ovf
 
 
+def _mulmod(a, b):
+    """``a·b % 65521`` for 0 ≤ a, b < 65521 without int32 overflow.
+
+    Split ``a = a1·256 + a0``: both partial products stay < 2^25.
+    """
+    a1 = a >> 8
+    a0 = a & 255
+    t = _mod65521(b << 8)
+    return _mod65521(a1 * t + a0 * b)
+
+
+def _modsum(x, chunk: int = 4096):
+    """Σx % 65521 along the last axis, folding every ``chunk`` elements
+    so partial sums stay < 2^31 (inputs must be < 65521)."""
+    n = x.shape[-1]
+    while n > chunk:
+        pad = (-n) % chunk
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        x = _mod65521(xp.reshape(*x.shape[:-1], -1, chunk).sum(axis=-1))
+        n = x.shape[-1]
+    return _mod65521(x.sum(axis=-1))
+
+
+def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
+    """Combine per-unit literal partials + match-byte corrections.
+
+    ``s1u/s2u``: ``(B, Ui)`` int32 — Σd and Σ(ob-b)·d over each unit's
+    owned literal bytes (kernel outputs).  ``cidx/src``: the compacted
+    match-byte positions/values from :func:`_expand`.  All arithmetic is
+    int32-safe via modular folding (x64 is disabled under jit).
+    """
+    ul = jnp.arange(Ui, dtype=jnp.int32)
+    # s2 contribution of a literal byte at stream offset p = ul·ob + b is
+    # (out_size - p)·d = (out_size - (ul+1)·ob)·d + (ob - b)·d
+    coef = _mod65521(out_size - (ul + 1) * ob + 65521)[None, :]
+    s1m = _mod65521(s1u)
+    a_lit = _modsum(s1m)
+    s2_lit = _modsum(_mod65521(_mulmod(coef, s1m) + _mod65521(s2u)))
+
+    valid = cidx < B * Opad
+    p_local = jnp.where(valid, cidx, 0) % Opad
+    sid = jnp.where(valid, cidx, 0) // Opad
+    mval = src.astype(jnp.int32)
+    wm = _mod65521(out_size - p_local)
+    prod = jnp.where(valid, _mod65521(wm * mval), 0)
+    mv = jnp.where(valid, mval, 0)
+    a_cor = jnp.stack([_modsum(jnp.where(sid == s, mv, 0))
+                       for s in range(B)])
+    s2_cor = jnp.stack([_modsum(jnp.where(sid == s, prod, 0))
+                        for s in range(B)])
+    s1 = _mod65521(1 + a_lit + a_cor)
+    s2 = _mod65521((out_size % 65521) + s2_lit + s2_cor)
+    return (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("ob", "n_streams", "out_size",
-                                             "expand_cap", "k_max", "S",
-                                             "tiles_per_stream",
-                                             "interpret"))
-def inflate_indexed_pallas(spans3, meta, params, lit_attr, dist_attr, *,
+                                             "expand_cap", "S",
+                                             "interpret", "attr16",
+                                             "seg_cap"))
+def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            ob: int, n_streams: int, out_size: int,
-                           expand_cap: int, k_max: int, S: int,
-                           tiles_per_stream: int, interpret: bool = False):
+                           expand_cap: int, S: int,
+                           interpret: bool = False, attr16: bool = False,
+                           seg_cap: int | None = None):
     """Indexed inflate with the Pallas decode+stamp kernel.
 
-    Same contract as :func:`inflate_indexed`; the token decode and
-    token→byte attribution run in one VMEM kernel
-    (``inflate_pallas.decode_stamp_pallas``), leaving only the
-    back-reference expansion and checksum to XLA.
+    Same contract as :func:`inflate_indexed`; the token decode,
+    token→byte attribution, and the Adler-32 literal partial sums run in
+    one VMEM kernel (``inflate_pallas.decode_stamp_pallas``), leaving
+    only the back-reference expansion, the per-unit checksum combine, and
+    the match-byte corrections to XLA.  Units carry per-lane tables, so
+    streams need no tile alignment (``U_pad`` pads only the global tail).
     """
-    from .inflate_pallas import decode_stamp_pallas
+    from .inflate_pallas import SENTINEL, decode_stamp_pallas
 
     B = n_streams
-    attr4, kflag = decode_stamp_pallas(
-        spans3, meta, params, lit_attr, dist_attr, S=S, ob=ob,
-        k_max=k_max, tiles_per_stream=tiles_per_stream,
-        interpret=interpret)
-    U = attr4.shape[0] * attr4.shape[1] * 128
-    Ui = U // B
+    attr4, kflag, s1k, s2k = decode_stamp_pallas(
+        kbound, spans3, meta, tabs, symtab, S=S, ob=ob,
+        interpret=interpret, attr16=attr16)
+    U_pad = attr4.shape[0] * attr4.shape[1] * 128
+    Ui = (out_size + ob - 1) // ob
+    U_live = B * Ui
     Opad = Ui * ob
-    # (T, TUR, ob, 128) → unit-major (U, ob)
-    attr = jnp.transpose(attr4, (0, 1, 3, 2)).reshape(U, ob)
-    flag = kflag.reshape(U)
+    # (T, TUR, ob, 128) → unit-major (U_pad, ob)
+    attr = jnp.transpose(attr4, (0, 1, 3, 2)).reshape(U_pad, ob)
+    flag = kflag.reshape(U_pad)
 
     b = jnp.arange(ob, dtype=jnp.int32)[None, :]
-    ustart = jnp.arange(U, dtype=jnp.int32)[:, None] * ob
-    j = ustart + b
-    live = (j % Opad) < out_size
-    ism_b = attr > 0
-    covered = attr != 0
-    litv = jnp.where(live & (attr < 0), -attr - 1, 0
+    u = jnp.arange(U_pad, dtype=jnp.int32)[:, None]
+    j = u * ob + b
+    live = (u < U_live) & ((j % Opad) < out_size)
+    ism_b = attr >= 0                       # match: attr = dist - 1
+    is_lit = (attr < 0) & (attr != SENTINEL)
+    a32 = attr.astype(jnp.int32)
+    litv = jnp.where(live & is_lit, -a32 - 1, 0
                      ).reshape(-1).astype(jnp.uint8)
-    ptr = jnp.where(live & ism_b, j - attr, j).reshape(-1)
+    ptr = jnp.where(live & ism_b, j - (a32 + 1), j).reshape(-1)
     flag = flag | jnp.where(
-        jnp.any((ptr.reshape(U, ob) < (j - j % Opad)) & live & ism_b,
+        jnp.any((ptr.reshape(U_pad, ob) < (j - j % Opad)) & live & ism_b,
                 axis=1), F_BAD, 0)
-    flag = flag | jnp.where(jnp.any(live & ~covered, axis=1), F_BAD, 0)
-    # inactive padding units report coverage flags only for live bytes —
-    # mask their kernel coverage flag when they own no live bytes
-    n_live = jnp.sum(live.astype(jnp.int32), axis=1)
-    flag = jnp.where(n_live == 0, 0, flag)
-    return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap)
+    flag = flag | jnp.where(
+        jnp.any(live & (attr == SENTINEL), axis=1), F_BAD, 0)
+    # padding units report no flags (their kernel coverage bit is clear
+    # because they own 0 bytes; mask anyway for the global tail)
+    flag = jnp.where(u[:, 0] < U_live, flag, 0)
+
+    out, ovf, cidx, src = _expand(ptr, litv, expand_cap, seg_cap)
+    s1u = s1k.reshape(U_pad)[:U_live].reshape(B, Ui)
+    s2u = s2k.reshape(U_pad)[:U_live].reshape(B, Ui)
+    adler = _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad,
+                                 out_size)
+    out2 = out[:U_live * ob].reshape(B, Opad)
+    return out2[:, :out_size], flag, adler, ovf
 
 
 class CheckpointInflator:
@@ -405,23 +518,20 @@ class CheckpointInflator:
 
     def prepare(self, bodies: list[bytes], indexes: list[CheckpointIndex]):
         """Slice per-unit spans to a dense device layout (host memcpy)."""
-        from .inflate_pallas import TUB, prepare_tables
+        from .inflate_pallas import TUB, TAB_ROWS, prepare_block_tables
 
         pallas = self.backend == "pallas"
         out_size = indexes[0].out_size
         ob = indexes[0].ob
         Ui = (out_size + ob - 1) // ob
-        if pallas:
-            Ui_pad = -(-Ui // TUB) * TUB  # stream tiles never split
-        else:
-            Ui_pad = Ui
         B = len(bodies)
+        U_live = B * Ui
+        U = -(-U_live // TUB) * TUB if pallas else U_live
         span_bytes = max(ix.max_span_bytes() for ix in indexes)
         if pallas:
-            S = -(-((span_bytes + 3) // 4) // 32) * 32  # exact-ish width
+            S = -(-((span_bytes + 3) // 4) // 8) * 8
         else:
             S = self._pow2((span_bytes + 3) // 4, 16)
-        U = B * Ui_pad
         spans = np.zeros((U, S * 4), np.uint8)
         sub0 = np.zeros(U, np.int32)
         n_tokens = np.zeros(U, np.int32)
@@ -433,7 +543,7 @@ class CheckpointInflator:
             assert ix.out_size == out_size and ix.ob == ob
             sb = (ix.bit_pos >> 3).astype(np.int64)
             buf = np.frombuffer(body, np.uint8)
-            base = i * Ui_pad
+            base = i * Ui
             for u in range(Ui):
                 s = int(sb[u])
                 e = min(len(buf), s + S * 4)
@@ -449,7 +559,7 @@ class CheckpointInflator:
         spans32 = spans.reshape(U, S, 4).astype(np.uint32)
         spans_w = (spans32[:, :, 0] | spans32[:, :, 1] << 8
                    | spans32[:, :, 2] << 16 | spans32[:, :, 3] << 24)
-        prep = dict(out_size=out_size, ob=ob, B=B, Ui_pad=Ui_pad, S=S)
+        prep = dict(out_size=out_size, ob=ob, B=B, Ui_pad=Ui, S=S)
         if pallas:
             Ur = U // 128
             T = U // TUB
@@ -458,23 +568,22 @@ class CheckpointInflator:
                 spans_w.reshape(T, TUB // 128, 128, S).transpose(0, 1, 3, 2)))
             prep["meta"] = jnp.asarray(
                 np.stack([sub0, skip, owned]).reshape(3, Ur, 128))
-            tabs = [prepare_tables(lit[i], dist[i]) for i in range(B)]
-
-            def pad8(rows):
-                a = np.stack(rows)  # (B, W)
-                out = np.zeros((B, 8, a.shape[1]), np.int32)
-                out[:, 0, :] = a
-                return jnp.asarray(out)
-
-            def lanes(rows, n):
-                a = np.stack(rows)[:, :n]  # (B, n)
-                return jnp.asarray(np.repeat(a[:, :, None], 128, axis=2))
-
-            prep["params"] = pad8([t[0] for t in tabs])
-            prep["lit_attr"] = lanes([t[1] for t in tabs], 384)
-            prep["dist_attr"] = lanes([t[2] for t in tabs], 32)
-            prep["tiles_per_stream"] = Ui_pad // TUB
-            prep["k_max"] = -(-(int(n_tokens.max()) + 1) // 16) * 16
+            # per-unit table columns (tiles may mix streams/blocks)
+            tabsym = [prepare_block_tables(lit[i], dist[i])
+                      for i in range(B)]
+            tabs_all = np.stack([t[0] for t in tabsym])    # (B, 72)
+            sym_all = np.stack([t[1] for t in tabsym])     # (B, 128)
+            ublock = np.zeros(U, np.int64)
+            ublock[:U_live] = np.repeat(np.arange(B), Ui)
+            prep["tabs"] = jnp.asarray(np.ascontiguousarray(
+                tabs_all[ublock].reshape(T, TUB // 128, 128, TAB_ROWS)
+                .transpose(0, 3, 1, 2)))
+            prep["symtab"] = jnp.asarray(np.ascontiguousarray(
+                sym_all[ublock].reshape(T, TUB // 128, 128, 128)
+                .transpose(0, 3, 1, 2)))
+            prep["kbound"] = jnp.asarray(
+                n_tokens.reshape(T, TUB).max(axis=1, keepdims=True)
+                .astype(np.int32))
         else:
             prep.update(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),
                         n_tokens=jnp.asarray(n_tokens),
@@ -489,22 +598,26 @@ class CheckpointInflator:
 
         prep = self.prepare(bodies, indexes)
         cap_max = prep["B"] * prep["Ui_pad"] * prep["ob"]
-        # the index knows the exact match-byte population (= the compacted
-        # expansion set), so the expansion buffers are sized tightly
+        # the index knows the exact match-byte and match-segment
+        # populations, so the expansion buffers are sized tightly
         match_total = sum(int(ix.match_bytes) for ix in indexes)
         expand_cap = min(self._pow2(match_total + 64, 1 << 10),
                          self._pow2(cap_max))
+        if all(ix.match_segs >= 0 for ix in indexes):
+            seg_total = sum(int(ix.match_segs) for ix in indexes)
+            seg_cap = min(self._pow2(seg_total + 64, 1 << 10),
+                          self._pow2(cap_max))
+        else:
+            seg_cap = None
         interpret = jax.default_backend() == "cpu"
         while True:
             if self.backend == "pallas":
                 out, flag, adler, ovf = inflate_indexed_pallas(
-                    prep["spans3"], prep["meta"], prep["params"],
-                    prep["lit_attr"], prep["dist_attr"], ob=prep["ob"],
+                    prep["kbound"], prep["spans3"], prep["meta"],
+                    prep["tabs"], prep["symtab"], ob=prep["ob"],
                     n_streams=prep["B"], out_size=prep["out_size"],
-                    expand_cap=expand_cap, k_max=prep["k_max"],
-                    S=prep["S"],
-                    tiles_per_stream=prep["tiles_per_stream"],
-                    interpret=interpret)
+                    expand_cap=expand_cap, S=prep["S"],
+                    interpret=interpret, seg_cap=seg_cap)
             else:
                 out, flag, adler, ovf = inflate_indexed(
                     prep["spans"], prep["sub0"], prep["n_tokens"],
@@ -515,6 +628,8 @@ class CheckpointInflator:
                 if expand_cap >= cap_max:
                     raise DecompressionError.invalid_huffman_table()
                 expand_cap = min(expand_cap * 4, self._pow2(cap_max))
+                if seg_cap is not None:
+                    seg_cap = min(seg_cap * 4, self._pow2(cap_max))
                 continue
             break
         if int(np.asarray(flag).max()) != 0:

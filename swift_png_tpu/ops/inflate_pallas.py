@@ -3,25 +3,38 @@
 Why a kernel: measured on this TPU, every XLA random-access element costs
 ~13 ns while VPU elementwise streams at teraops.  The lockstep decoder's
 per-step work is all *small-domain* selects — a 32-bit word from the
-unit's span, a symbol attribute from a ≤288-entry table — which a kernel
-expresses as compare-and-reduce one-hots over VMEM-resident rows, never
-touching a gather.  The XLA fallback (``inflate_checkpoint.decode_tokens``)
-does the same algorithm with per-unit gathers; this kernel is the
-production path.
+unit's span, a symbol from a ≤384-entry table — which a kernel expresses
+as compare-and-reduce one-hots over VMEM-resident rows, never touching a
+gather.  The XLA fallback (``inflate_checkpoint.decode_tokens``) does the
+same algorithm with per-unit gathers; this kernel is the production path.
 
-Layout: units are tiled ``(TUr, 128)`` (sublanes × lanes); per-unit spans
-ride along a trailing lane dimension ``S``; per-stream decode tables are
-packed scalars + two attribute rows.  Each step decodes one token per
-unit and *stamps* its packed attribute over the unit's output-byte lanes:
+v2 layout (measured v1 cost breakdown drove every change):
 
-  ``attr[b] < 0`` → literal value ``-(attr+1)``; ``attr[b] > 0`` → match
-  distance; ``attr[b] == 0`` → not covered (validity check).
+* units ride the LANE dimension, one-hot domains ride SUBLANES (lane
+  reductions cost ~5× a whole step on this chip);
+* decode tables are **per-unit columns** — every unit carries its own
+  canonical thresholds/offsets and symbol table in its lane, so a tile
+  may mix units from different streams *or different DEFLATE blocks*
+  (multi-block streams, heterogeneous batches) at zero extra step cost;
+* the symbol table packs three 10-bit entries per 32-bit row (128 rows
+  for the 384-entry literal alphabet instead of 384 — the v1 select was
+  the single biggest VMEM-traffic term), and run/distance base+extra
+  come from the RFC 1951 closed forms instead of attribute tables;
+* the stamp array is **int16** (uncovered = -32768, literal = -(sym+1),
+  match = dist-1 ≥ 0) — half the traffic of the v1 int32 stamp;
+* the step loop bound is per-tile (SMEM scalar): tiles of low-token
+  units (or pure padding) finish early;
+* after the loop the kernel folds its own Adler-32 *literal partials*
+  (per-unit Σd and Σ(ob-b)·d over sublanes, where reductions are cheap),
+  so the XLA tail only combines per-unit scalars plus the compacted
+  match-byte corrections instead of re-reading the whole output.
 
-The stamp replaces both the scatter-based and the rank-count assemblies —
-``cursor`` lives in registers, so token→byte attribution costs a masked
-select instead of any indexed write (the reference's sequential
-``InflatorOut.append``/``expand`` analog, ``Sources/LZ77/Inflator/
-LZ77.InflatorOut.swift:124-139``).
+Each step decodes one token per unit and *stamps* its packed attribute
+over the unit's output-byte lanes monotonically (later tokens overwrite;
+``cursor`` lives in registers), replacing every scatter/rank-count
+assembly — the analog of the reference's sequential
+``InflatorOut.append``/``expand``
+(``Sources/LZ77/Inflator/LZ77.InflatorOut.swift:124-139``).
 """
 
 from __future__ import annotations
@@ -32,29 +45,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..lz77 import constants as C
-
-__all__ = ["decode_stamp_pallas", "prepare_tables"]
+__all__ = ["decode_stamp_pallas", "prepare_block_tables", "TUB", "TUR",
+           "TAB_ROWS", "SENTINEL"]
 
 TUB = 1024         # units per tile
 TUR = TUB // 128   # sublane rows of units per tile
+TAB_ROWS = 72      # packed per-unit table rows (see prepare_block_tables)
+SENTINEL = -32768  # int16 attr value for "byte not covered"
 
 
-def prepare_tables(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
-    """Per-stream packed decode tables for the kernel (host, numpy).
+def prepare_block_tables(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
+    """Packed per-block decode tables for the kernel (host, numpy).
 
-    Returns ``(params (128,) int32, lit_attr (384,) int32,
-    dist_attr (128,) int32)``:
+    Returns ``(tabs (72,) int32, symtab (128,) int32)``:
 
-    * ``params[l]`` (1…15) — literal canonical thresholds
+    * ``tabs[l]`` (1…15) — literal canonical thresholds
       ``lim[l] << (15-l)`` (non-decreasing, so code length =
-      1 + #{thresholds ≤ window}); ``params[16+l]`` — ``offset[l] -
-      first[l]`` so ``symidx = code + adj``; ``params[32+l]`` /
-      ``params[48+l]`` — the same for the distance tree.
-    * ``lit_attr[symidx]`` — ``sym | run_extra<<10 | run_base<<13`` of the
-      length-sorted symbol at ``symidx``.
-    * ``dist_attr[symidx]`` — ``extra | base<<4``, or ``1<<30`` for the
-      two reserved distance codes 30/31.
+      1 + #{thresholds ≤ window}); ``tabs[16+l]`` — ``offset[l] -
+      first[l]`` so ``symidx = code + adj``; ``tabs[32+l]`` /
+      ``tabs[48+l]`` — the same for the distance tree;
+      ``tabs[64+r]`` — distance symbols packed four 8-bit per row
+      (value = dsym of the length-sorted entry, 255 = invalid).
+    * ``symtab[r]`` — literal symbols packed three 10-bit per row
+      (value = sym of the length-sorted entry at ``3r+j``; 1023 =
+      invalid/reserved — symbols 286/287 and out-of-range indexes flag
+      as corrupt, matching the host engine's rejection).
     """
 
     def canonical(lengths):
@@ -74,34 +89,33 @@ def prepare_tables(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
 
     _, lfirst, llim, loffset, lorder = canonical(lit_lengths)
     _, dfirst, dlim, doffset, dorder = canonical(dist_lengths)
-    params = np.zeros(128, np.int32)
-    for l in range(1, 16):
-        params[l] = llim[l] << (15 - l)
-        params[16 + l] = loffset[l] - lfirst[l]
-        params[32 + l] = dlim[l] << (15 - l)
-        params[48 + l] = doffset[l] - dfirst[l]
+    nlit = int(np.count_nonzero(np.asarray(lit_lengths)))
+    ndist = int(np.count_nonzero(np.asarray(dist_lengths)))
 
-    lit_attr = np.zeros(384, np.int32)
-    for idx in range(288):
-        sym = int(lorder[idx])
-        if sym >= 257:
-            dec = sym - 257
-            if dec <= 28:
-                lit_attr[idx] = (sym | int(C.RUN_EXTRA[dec]) << 10
-                                 | int(C.RUN_BASE[dec]) << 13)
-            else:
-                lit_attr[idx] = 1 << 30  # symbols 286/287 are reserved
-        else:
-            lit_attr[idx] = sym
-    dist_attr = np.zeros(128, np.int32)
-    for idx in range(32):
+    tabs = np.zeros(TAB_ROWS, np.int32)
+    for l in range(1, 16):
+        tabs[l] = llim[l] << (15 - l)
+        tabs[16 + l] = loffset[l] - lfirst[l]
+        tabs[32 + l] = dlim[l] << (15 - l)
+        tabs[48 + l] = doffset[l] - dfirst[l]
+    dsyms = np.full(32, 255, np.int64)
+    for idx in range(ndist):
         sym = int(dorder[idx])
-        if sym <= 29:
-            dist_attr[idx] = (int(C.DISTANCE_EXTRA[sym])
-                              | int(C.DISTANCE_BASE[sym]) << 4)
-        else:
-            dist_attr[idx] = 1 << 30
-    return params, lit_attr, dist_attr
+        dsyms[idx] = sym if sym <= 29 else 255
+    for r in range(8):
+        v = (dsyms[4 * r] | dsyms[4 * r + 1] << 8
+             | dsyms[4 * r + 2] << 16 | dsyms[4 * r + 3] << 24)
+        tabs[64 + r] = np.uint32(v).astype(np.int32)
+
+    syms = np.full(384, 1023, np.int64)
+    for idx in range(nlit):
+        sym = int(lorder[idx])
+        syms[idx] = sym if sym <= 285 or sym == 256 else 1023
+    symtab = np.zeros(128, np.int32)
+    for r in range(128):
+        symtab[r] = (syms[3 * r] | syms[3 * r + 1] << 10
+                     | syms[3 * r + 2] << 20)
+    return tabs, symtab
 
 
 def _rev15(x):
@@ -113,40 +127,37 @@ def _rev15(x):
     return x >> 1
 
 
-def _make_kernel(S: int, ob: int, k_max: int):
+def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
+                 unroll: int):
     import jax.experimental.pallas as pl  # deferred: CPU tests import-safe
 
-    def kernel(spans_ref, meta_ref, params_ref, lit_attr_ref, dist_attr_ref,
-               attr_ref, flag_ref):
-        # Transposed layout: units ride the LANE dimension, one-hot
-        # domains (span words, symbol tables, output bytes) ride the
-        # SUBLANE dimension — Mosaic reduces over sublanes with plain
-        # vreg adds, whereas lane reductions cost log2(128) shuffle
-        # passes per select (measured ~5x the whole step).
+    adt = jnp.int16 if attr16 else jnp.int32
+
+    def kernel(kb_ref, spans_ref, meta_ref, tabs_ref, symtab_ref,
+               attr_ref, flag_ref, s1_ref, s2_ref):
         spans = jax.lax.bitcast_convert_type(spans_ref[0], jnp.int32)
         sub0 = meta_ref[0]
         skip = meta_ref[1]
         owned = meta_ref[2]  # live bytes of this unit (<= ob; 0 = padding)
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (TUR, S, 128), 1)
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (TUR, ob, 128), 1)
-        iota_la = jax.lax.broadcasted_iota(jnp.int32, (TUR, 384, 128), 1)
-        iota_da = jax.lax.broadcasted_iota(jnp.int32, (TUR, 32, 128), 1)
-        lit_attr = lit_attr_ref[0][None, :, :]    # (1, 384, 128)
-        dist_attr = dist_attr_ref[0][None, :, :]  # (1, 32, 128)
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, TUR, 128), 0)
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, TUR, 128), 0)
+        symtab = jax.lax.bitcast_convert_type(symtab_ref[0], jnp.int32)
+        dist_sym = tabs_ref[0, 64:72]        # (8, TUR, 128) packed dsyms
 
-        # hoist all per-stream scalars out of the step loop — Mosaic does
-        # not CSE the VMEM scalar extracts, and ~60 of them per step is
-        # real per-step cost
-        p_lit_T = [params_ref[0, 0, t] for t in range(1, 16)]
-        p_lit_adj = [params_ref[0, 0, 16 + t] for t in range(1, 16)]
-        p_dist_T = [params_ref[0, 0, 32 + t] for t in range(1, 16)]
-        p_dist_adj = [params_ref[0, 0, 48 + t] for t in range(1, 16)]
+        # per-unit canonical scalars: threshold/adjust rows (length 1…15)
+        # — the table axis leads the layout, so every extract is a
+        # contiguous (TUR, 128) slab, never a strided sublane walk
+        lit_T = [tabs_ref[0, t] for t in range(1, 16)]
+        lit_adj = [tabs_ref[0, 16 + t] for t in range(1, 16)]
+        dist_T = [tabs_ref[0, 32 + t] for t in range(1, 16)]
+        dist_adj = [tabs_ref[0, 48 + t] for t in range(1, 16)]
 
-        def sel16(lsel, scalars):
-            """scalars[l-1] per unit (one-hot over the 15 lengths)."""
+        def sel15(lsel, rows):
             acc = jnp.zeros((TUR, 128), jnp.int32)
             for t in range(1, 16):
-                acc = acc + jnp.where(lsel == t, scalars[t - 1], 0)
+                acc = acc + jnp.where(lsel == t, rows[t - 1], 0)
             return acc
 
         def body(k, carry):
@@ -156,7 +167,8 @@ def _make_kernel(S: int, ob: int, k_max: int):
             # the whole <=48-bit token lives in words widx..widx+2 because
             # lit code + run extra consume <= 20 bits (sub <= 31 => the
             # distance window starts in word widx or widx+1)
-            d3 = iota_s - (bitrel >> 5)[:, None, :]
+            wq = bitrel >> 5
+            d3 = iota_s - wq[:, None, :]
             w0 = jax.lax.bitcast_convert_type(
                 jnp.sum(jnp.where(d3 == 0, spans, 0), axis=1), jnp.uint32)
             w1 = jax.lax.bitcast_convert_type(
@@ -167,125 +179,157 @@ def _make_kernel(S: int, ob: int, k_max: int):
             win = (w0 >> sub) | jnp.where(
                 sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
 
+            # literal/run decode: closed-form canonical compare, then the
+            # packed symbol row (symidx = 3q + r → row q, 10-bit field r)
             r15 = _rev15(win & 0x7FFF).astype(jnp.int32)
             l = jnp.ones((TUR, 128), jnp.int32)
             for t in range(1, 16):
-                l = l + (r15 >= p_lit_T[t - 1]).astype(jnp.int32)
+                l = l + (r15 >= lit_T[t - 1]).astype(jnp.int32)
             lbad = l > 15
             ls = jnp.minimum(l, 15)
             code = r15 >> (15 - ls)
-            symidx = jnp.clip(code + sel16(ls, p_lit_adj), 0, 383)
-            attr = jnp.sum(
-                jnp.where(iota_la == symidx[:, None, :], lit_attr, 0),
-                axis=1)
-            sym = attr & 0x3FF
-            eb = (attr >> 10) & 7
-            rbase = (attr >> 13) & 0x1FF
+            symidx = jnp.clip(code + sel15(ls, lit_adj), 0, 383)
+            q3 = (symidx * 21846) >> 16
+            r3 = symidx - (q3 + (q3 << 1))
+            wsym = jnp.sum(
+                jnp.where(iota128 == q3[None, :, :], symtab, 0), axis=0)
+            sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
+            dec = jnp.clip(sym - 257, 0, 28)
+            # RFC 1951 run decade closed form (no table)
+            e_run = jnp.where((dec < 4) | (dec == 28), 0, (dec >> 2) - 1)
+            rbase = jnp.where(
+                dec < 4, dec + 3,
+                jnp.where(dec == 28, 258, ((4 + (dec & 3)) << e_run) + 3))
             run = rbase + ((win >> ls.astype(jnp.uint32)).astype(jnp.int32)
-                           & ((1 << eb) - 1))
+                           & ((1 << e_run) - 1))
             is_lit = ~lbad & (sym < 256)
             is_eob = ~lbad & (sym == 256)
-            is_run = ~lbad & (sym >= 257) & (attr < (1 << 30))
+            is_runtok = ~lbad & (sym >= 257) & (sym <= 285)
 
-            bit2 = bitrel + ls + eb
-            hi_word = (bit2 >> 5) > (bitrel >> 5)
+            # distance decode from the window at bit2 (garbage for
+            # literals — masked off below)
+            bit2 = bitrel + ls + e_run
+            hi_word = (bit2 >> 5) > wq
             wa = jnp.where(hi_word, w1, w0)
             wb = jnp.where(hi_word, w2, w1)
             sub2 = (bit2 & 31).astype(jnp.uint32)
             win2 = (wa >> sub2) | jnp.where(
                 sub2 == 0, jnp.uint32(0), wb << ((32 - sub2) & 31))
-
             r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
             dl = jnp.ones((TUR, 128), jnp.int32)
             for t in range(1, 16):
-                dl = dl + (r15d >= p_dist_T[t - 1]).astype(jnp.int32)
+                dl = dl + (r15d >= dist_T[t - 1]).astype(jnp.int32)
             dbad = dl > 15
             dls = jnp.minimum(dl, 15)
             dcode = r15d >> (15 - dls)
-            didx = jnp.clip(dcode + sel16(dls, p_dist_adj), 0, 31)
-            dattr = jnp.sum(
-                jnp.where(iota_da == didx[:, None, :], dist_attr, 0),
-                axis=1)
-            db = dattr & 15
-            dist = ((dattr >> 4) & 0x7FFF) + (
+            didx = jnp.clip(dcode + sel15(dls, dist_adj), 0, 31)
+            wd = jnp.sum(
+                jnp.where(iota8 == (didx >> 2)[None, :, :], dist_sym, 0),
+                axis=0)
+            dsym = (wd >> ((didx & 3) << 3)) & 255
+            ds = jnp.minimum(dsym, 29)
+            e_d = jnp.where(ds < 4, 0, (ds >> 1) - 1)
+            dbase = jnp.where(ds < 4, ds + 1, ((2 + (ds & 1)) << e_d) + 1)
+            dist = dbase + (
                 (win2 >> dls.astype(jnp.uint32)).astype(jnp.int32)
-                & ((1 << db) - 1))
-            is_match = is_run & ~dbad & (dattr < (1 << 30))
+                & ((1 << e_d) - 1))
+            is_match = is_runtok & ~dbad & (dsym <= 29)
 
-            bad = active & (lbad | is_eob | (is_run & ~is_match))
+            bad = active & (lbad | is_eob | (~is_lit & ~is_eob
+                                             & ~is_runtok)
+                            | (is_runtok & ~is_match))
             tl = jnp.where(active & is_lit, 1,
                            jnp.where(active & is_match, run, 0))
-            aux = jnp.where(is_lit, -(sym + 1), dist)
+            aux = jnp.where(is_lit, -(sym + 1), dist - 1).astype(adt)
             # monotone stamp: tokens arrive in increasing byte order, so
             # stamping the whole tail [cur, ob) is correct — later tokens
-            # overwrite it; bytes past the last token stay garbage and are
-            # guarded by the coverage flag + live mask downstream
+            # overwrite it; bytes past the last token stay SENTINEL and
+            # are caught by the coverage checks downstream
             start = jnp.where(active & (tl > 0), cur, ob)  # ob => no stamp
+            # mask compare stays int32 (Mosaic lacks ordered i16 cmps);
+            # the stamped values are int16 — half the read+write traffic
             mask = iota_b >= start[:, None, :]
             attr_ref[0] = jnp.where(mask, aux[:, None, :], attr_ref[0])
-            step = jnp.where(is_lit, ls, ls + eb + dls + db)
+            step = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
             bitrel = bitrel + jnp.where(active & ~bad, step, 0)
             flag = flag | jnp.where(bad, 1, 0)
             return bitrel, cur + tl, flag
 
+        attr_ref[0] = jnp.full((TUR, ob, 128), SENTINEL, adt)
         bitrel0 = sub0
         cur0 = -skip
         flag0 = jnp.zeros((TUR, 128), jnp.int32)
-        attr_ref[0] = jnp.zeros((TUR, ob, 128), jnp.int32)
+        kb = k_static if k_static is not None else kb_ref[pl.program_id(0),
+                                                          0]
         bitrel, cur, flag = jax.lax.fori_loop(
-            0, k_max, body, (bitrel0, cur0, flag0))
+            0, kb, body, (bitrel0, cur0, flag0), unroll=unroll)
         # coverage: every owned byte must be stamped (the last unit of a
         # stream owns < ob bytes; padding units own 0)
         flag = flag | jnp.where(cur < owned, 2, 0)
         flag_ref[...] = flag
 
+        # Adler-32 literal partials (per unit, sublane reductions):
+        #   s1 = Σ d[b],  s2 = Σ (ob - b)·d[b]   over owned literal bytes
+        # (match bytes are corrected on the XLA side from the compacted
+        # expansion set — the index keeps that set small)
+        a = attr_ref[0].astype(jnp.int32)
+        bmask = iota_b < owned[:, None, :]
+        is_l = (a < 0) & (a != SENTINEL)
+        d = jnp.where(is_l & bmask, -a - 1, 0)
+        s1_ref[...] = jnp.sum(d, axis=1)
+        s2_ref[...] = jnp.sum((ob - iota_b) * d, axis=1)
+
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("S", "ob", "k_max",
-                                             "tiles_per_stream",
-                                             "interpret"))
-def decode_stamp_pallas(spans, meta, params, lit_attr, dist_attr, *,
-                        S: int, ob: int, k_max: int, tiles_per_stream: int,
-                        interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("S", "ob", "interpret",
+                                             "k_static", "attr16",
+                                             "unroll"))
+def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
+                        S: int, ob: int, interpret: bool = False,
+                        k_static: int | None = None, attr16: bool = False,
+                        unroll: int = 1):
     """Run the lockstep decode+stamp kernel over all unit tiles.
 
     Args:
+      kbound: ``(T, 1)`` int32 — per-tile step bound (max tokens of any
+        unit in the tile; 0 for pure-padding tiles).
       spans: ``(T, TUR, S, 128)`` uint32 — per-unit span words,
         transposed so units ride lanes: word ``s`` of unit
         ``t·1024 + g·128 + l`` sits at ``[t, g, s, l]``.
       meta: ``(3, Ur, 128)`` int32 — sub-bit, skip, owned bytes per unit
         (termination is by output coverage: a unit decodes until its
         cursor reaches its owned byte count).
-      params: ``(B, 8, 128)`` int32 — packed per-stream scalars (row 0).
-      lit_attr/dist_attr: ``(B, 384, 128)`` / ``(B, 32, 128)`` int32 —
-        per-stream attribute tables replicated across lanes.
-      tiles_per_stream: unit tiles per stream (``Ui_pad / 1024``).
+      tabs: ``(T, 72, TUR, 128)`` int32 — per-unit packed canonical
+        tables (:func:`prepare_block_tables` columns; table axis leads so
+        in-kernel extracts are contiguous slabs).
+      symtab: ``(T, 128, TUR, 128)`` int32 — per-unit packed literal
+        symbol tables.
+      k_static/attr16/unroll: measured-performance knobs (static loop
+        bound instead of the per-tile SMEM bound; int16 vs int32 stamp;
+        step-loop unrolling).
 
-    Returns ``(attr (T, TUR, ob, 128) int32, flag (Ur, 128) int32)``.
+    Returns ``(attr (T, TUR, ob, 128) int16, flag (Ur, 128) int32,
+    s1 (Ur, 128) int32, s2 (Ur, 128) int32)``.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_tiles = spans.shape[0]
     Ur = n_tiles * TUR
-    kernel = _make_kernel(S, ob, k_max)
-    attr, flag = pl.pallas_call(
+    kernel = _make_kernel(S, ob, k_static, attr16, unroll)
+    attr, flag, s1, s2 = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TUR, S, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TUR, 128), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t: (t // tiles_per_stream,
-                                                 0, 0),
+            pl.BlockSpec((1, TAB_ROWS, TUR, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 384, 128), lambda t: (t // tiles_per_stream,
-                                                   0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 128), lambda t: (t // tiles_per_stream,
-                                                  0, 0),
+            pl.BlockSpec((1, 128, TUR, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -293,11 +337,18 @@ def decode_stamp_pallas(spans, meta, params, lit_attr, dist_attr, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TUR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TUR, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TUR, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TUR, ob, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, TUR, ob, 128),
+                                 jnp.int16 if attr16 else jnp.int32),
+            jax.ShapeDtypeStruct((Ur, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Ur, 128), jnp.int32),
             jax.ShapeDtypeStruct((Ur, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(spans, meta, params, lit_attr, dist_attr)
-    return attr, flag
+    )(kbound, spans, meta, tabs, symtab)
+    return attr, flag, s1, s2

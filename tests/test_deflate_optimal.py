@@ -75,3 +75,32 @@ def test_tiny_inputs():
         data = bytes(range(n))
         stream = deflate_device_optimal(data, level=9)
         assert zlib.decompress(stream) == data
+
+
+@pytest.mark.parametrize("kind", ["noise", "rows", "rle", "text"])
+def test_candidates_pallas_matches_xla(kind):
+    """The Pallas candidate kernel (interpret mode here) is bit-identical
+    to the XLA formulation for every position and both top-k slots."""
+    from swift_png_tpu.lz77 import constants as C
+    from swift_png_tpu.ops.deflate_optimal import (
+        CR2, DMAX_STEP, KCAND, menu_candidates_pallas)
+
+    data = payload(kind, 40_000)
+    n = len(data)
+    menu = (1, 2, 3, 4, 8, 16, 37, 128, 300, 1024, 4099)
+    Ntot = -(-n // (CR2 * 128)) * (CR2 * 128)
+    buf = np.zeros(Ntot, np.uint8)
+    buf[:n] = np.frombuffer(data, np.uint8)
+    runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(n),
+                                  menu=menu, k=KCAND)
+    ref = np.asarray((dists << 9) | runs)
+
+    dmax = -(-len(menu) // DMAX_STEP) * DMAX_STEP
+    dv = np.zeros(dmax, np.int32)
+    cv = np.zeros(dmax, np.int32)
+    dv[:len(menu)] = menu
+    cv[:len(menu)] = [int(C.DISTANCE_DECADE[d]) for d in menu]
+    got = np.asarray(menu_candidates_pallas(
+        jnp.asarray(dv), jnp.asarray(cv), jnp.asarray(buf), jnp.int32(n),
+        dmax=dmax, interpret=True))
+    assert (got == ref).all()
