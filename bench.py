@@ -70,7 +70,8 @@ def main() -> None:
                                                       inflate_indexed_pallas)
     from swift_png_tpu.parallel.batch import decode_stage
 
-    B, H, W = 8, 512, 512
+    B = int(os.environ.get("SPT_BENCH_B", "32"))
+    H, W = 512, 512
     OB = int(os.environ.get("SPT_BENCH_OB", "256"))
     pitch1 = 1 + W * 4
     out_size = H * pitch1
@@ -165,7 +166,7 @@ def main() -> None:
     nbytes = B * out_size
     gbps = nbytes / best / 1e9
     result = {
-        "metric": "decode rgba8 512x512 batch8 "
+        "metric": f"decode rgba8 512x512 batch{B} "
                   "(indexed pallas inflate+defilter+convolve)",
         "value": round(gbps, 4),
         "unit": "GB/s",

@@ -82,6 +82,9 @@ def _load():
     lib.spt_build_index.restype = ctypes.c_longlong
     lib.spt_build_index.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                     ctypes.c_uint64, ctypes.c_uint32,
+                                    ctypes.c_uint32,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p]
@@ -234,13 +237,18 @@ def defilter_batch(rows: np.ndarray, bpp: int, threads: int = 0) -> np.ndarray:
     return rows[:, :, 1:]
 
 
-def build_index(body: bytes, out_size: int, ob: int = 256):
-    """Native checkpoint-index walk (``lz77/index.py`` fast path).
+MAX_INDEX_BLOCKS = 4096
 
-    Returns ``(bit_pos, skip, n_tokens, lit_lengths, dist_lengths,
-    end_bit, match_bytes)`` or ``None`` when the stream is outside the
-    single-dynamic-block fast path; raises :class:`NativeError` on
-    malformed streams.
+
+def build_index(body: bytes, out_size: int, ob: int = 256):
+    """Native checkpoint-index walk (``lz77/index.py`` fast path, v2).
+
+    Returns ``(bit_pos, skip, n_tokens, unit_block, unit_kind, eob_jump,
+    gap_off, lit_lengths (NB, 288), dist_lengths (NB, 32), end_bit,
+    match_bytes, match_segs)`` or ``None`` when the stream is outside the
+    fast path (token/stored-mixed units, >1 boundary per unit, >
+    ``MAX_INDEX_BLOCKS`` blocks, record-range overflow); raises
+    :class:`NativeError` on malformed streams.
     """
     lib = _load()
     if lib is None:
@@ -251,15 +259,26 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
     bit_pos = np.zeros(U, np.uint64)
     skip = np.zeros(U, np.uint32)
     n_tokens = np.zeros(U, np.uint32)
-    lit = np.zeros(288, np.uint8)
-    dist = np.zeros(32, np.uint8)
-    info = np.zeros(3, np.uint64)
+    unit_block = np.zeros(U, np.uint32)
+    unit_kind = np.zeros(U, np.uint8)
+    eob_jump = np.zeros(U, np.uint32)
+    gap_off = np.zeros(U, np.uint32)
+    lit = np.zeros((MAX_INDEX_BLOCKS, 288), np.uint8)
+    dist = np.zeros((MAX_INDEX_BLOCKS, 32), np.uint8)
+    info = np.zeros(4, np.uint64)
     r = lib.spt_build_index(body, len(body), out_size, ob,
+                            MAX_INDEX_BLOCKS,
                             bit_pos.ctypes.data, skip.ctypes.data,
-                            n_tokens.ctypes.data, lit.ctypes.data,
+                            n_tokens.ctypes.data, unit_block.ctypes.data,
+                            unit_kind.ctypes.data, eob_jump.ctypes.data,
+                            gap_off.ctypes.data, lit.ctypes.data,
                             dist.ctypes.data, info.ctypes.data)
     if r < 0:
         raise NativeError(int(r))
     if r == 0:
         return None
-    return bit_pos, skip, n_tokens, lit, dist, int(info[0]), int(info[1]), int(info[2])
+    nb = max(int(info[3]), 1)
+    return (bit_pos, skip, n_tokens, unit_block.astype(np.int32),
+            unit_kind, eob_jump, gap_off.astype(np.uint16),
+            lit[:nb].copy(), dist[:nb].copy(),
+            int(info[0]), int(info[1]), int(info[2]))

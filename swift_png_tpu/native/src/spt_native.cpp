@@ -551,19 +551,25 @@ int spt_defilter_batch(uint8_t* rows, int count, int H, int pitch, int bpp,
 
 // ---------------------------------------------------------------------------
 // checkpoint index builder (lz77/index.py fast path): one sequential walk
-// over a single-dynamic-block body recording the bit position of the first
-// token of every `ob`-output-byte unit + the mid-token skip.  Returns the
-// unit count, 0 when the stream is outside the fast path (caller falls
-// back to the general engines), or a negative error for malformed data.
-long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
-                          uint32_t ob, uint64_t* bit_pos, uint32_t* skip,
-                          uint32_t* n_tokens, uint8_t* lit_lengths,
-                          uint8_t* dist_lengths, uint64_t* info) {
-    if (!out_size || n < 4 || ob < 64) return 0;
-    BitReader br{body, n};
-    uint32_t hdr = br.read(3);
-    if ((hdr & 1) == 0 || (hdr >> 1) != 2) return 0;  // not final dynamic
+// over a raw-DEFLATE body recording, for every `ob`-output-byte unit, the
+// bit position of its first token, the mid-token skip, and its decode
+// tables.  v2 handles any mix of dynamic/fixed/stored blocks within the
+// structural limits the lockstep kernel supports: at most one block
+// boundary per unit (recorded as an `eob_jump` over the next header) and
+// stored regions that cross units only via 5-byte inter-block gaps.
+// Returns the unit count, 0 when the stream is outside the fast path
+// (caller falls back to the general engines), or a negative error.
 
+static int parse_huffman_tables(BitReader& br, int btype, uint8_t* lit288,
+                                uint8_t* dist32) {
+    if (btype == 1) {  // RFC 1951 fixed code lengths
+        for (int i = 0; i < 144; i++) lit288[i] = 8;
+        for (int i = 144; i < 256; i++) lit288[i] = 9;
+        for (int i = 256; i < 280; i++) lit288[i] = 7;
+        for (int i = 280; i < 288; i++) lit288[i] = 8;
+        for (int i = 0; i < 32; i++) dist32[i] = 5;
+        return 0;
+    }
     int hlit = br.read(5) + 257;
     int hdist = br.read(5) + 1;
     int hclen = br.read(4) + 4;
@@ -593,84 +599,193 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             got += r;  // lens already zero
         }
     }
-    memset(lit_lengths, 0, 288);
-    memset(dist_lengths, 0, 32);
-    memcpy(lit_lengths, lens, hlit);
-    memcpy(dist_lengths, lens + hlit, hdist);
+    memset(lit288, 0, 288);
+    memset(dist32, 0, 32);
+    memcpy(lit288, lens, hlit);
+    memcpy(dist32, lens + hlit, hdist);
+    return 0;
+}
 
-    std::vector<uint32_t> lit_table, dist_table;
-    int lit_w = build_table(lit_lengths, 288, 15, lit_table);
-    if (lit_w < 0) return SPT_E_TABLE;
-    bool have_dist = false;
-    for (int i = 0; i < 32; i++) have_dist |= dist_lengths[i] != 0;
-    int dist_w = 1;
-    if (have_dist) {
-        dist_w = build_table(dist_lengths, 32, 15, dist_table);
-        if (dist_w < 0) return SPT_E_TABLE;
-    } else {
-        dist_table.assign(2, 0);
-    }
+long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
+                          uint32_t ob, uint32_t max_blocks,
+                          uint64_t* bit_pos, uint32_t* skip,
+                          uint32_t* n_tokens, uint32_t* unit_block,
+                          uint8_t* unit_kind, uint32_t* eob_jump,
+                          uint32_t* gap_off, uint8_t* lit_lengths,
+                          uint8_t* dist_lengths, uint64_t* info) {
+    if (!out_size || n < 4 || ob < 64) return 0;
+    const uint32_t GAP_NONE = 0xFFFF;
+    BitReader br{body, n};
 
     uint64_t U = (out_size + ob - 1) / ob;
+    for (uint64_t u = 0; u < U; u++) {
+        bit_pos[u] = 0; skip[u] = 0; n_tokens[u] = 0;
+        unit_block[u] = 0; unit_kind[u] = 0; eob_jump[u] = 0;
+        gap_off[u] = GAP_NONE;
+    }
     uint64_t o = 0, unit = 0, unit_end = ob, toks = 0, match_bytes = 0;
-    // count 64-byte output segments containing >= 1 match byte (sizes the
-    // device expansion's segment compaction exactly)
     uint64_t match_segs = 0;
     long long last_seg = -1;
-    bit_pos[0] = br.pos * 8 - br.bits;
+    bool unit_open = false, stored_open = false;
+    long long pending_unit = -1;
+    uint64_t pending_end = 0;
+    uint32_t n_blocks = 0;
+    std::vector<uint32_t> lit_table, dist_table;
+    int final_blk = 0;
+
     for (;;) {
-        uint64_t tbit = br.pos * 8 - br.bits;
-        uint32_t e = lit_table[br.peek(lit_w)];
-        int l = e >> 16, sym = e & 0xFFFF;
-        if (!l || br.overrun()) return SPT_E_TABLE;
-        br.drop(l);
-        uint64_t tlen;
-        if (sym < 256) {
-            tlen = 1;
-        } else if (sym == 256) {
-            break;
-        } else if (sym > 285) {
-            return SPT_E_TABLE;
-        } else {
-            int dec = sym - 257;
-            uint32_t run = RUN_BASE[dec] + br.read(RUN_EXTRA[dec]);
-            uint32_t e2 = dist_table[br.peek(dist_w)];
-            int dl = e2 >> 16, dsym = e2 & 0xFFFF;
-            if (!dl || dsym > 29) return SPT_E_TABLE;
-            br.drop(dl);
-            uint32_t dist = DIST_BASE[dsym] + br.read(DIST_EXTRA[dsym]);
-            if (dist > o) return SPT_E_DISTANCE;
-            match_bytes += run;
-            long long s0 = (long long)(o >> 6);
-            long long s1 = (long long)((o + run - 1) >> 6);
-            long long lo = (s0 - 1 > last_seg) ? s0 - 1 : last_seg;
-            match_segs += (uint64_t)(s1 - lo);
-            last_seg = s1;
-            tlen = run;
-        }
-        toks++;
-        o += tlen;
-        if (o > out_size) return SPT_E_OUTPUT;
-        while (o >= unit_end && unit + 1 < U) {
-            n_tokens[unit] = (uint32_t)toks;
-            unit++;
-            if (o > unit_end) {
-                bit_pos[unit] = tbit;
-                skip[unit] = (uint32_t)(tlen - (o - unit_end));
-                toks = 1;
-            } else {
-                bit_pos[unit] = br.pos * 8 - br.bits;
-                skip[unit] = 0;
+        int final_ = br.read(1);
+        int btype = br.read(2);
+        final_blk = final_;
+        if (br.overrun()) return SPT_E_TABLE;
+        if (btype == 3) return SPT_E_BLOCKTYPE;
+        if (btype == 0) {
+            // ---- stored block -----------------------------------------
+            br.align();
+            uint32_t len = br.read(16);
+            uint32_t nlen = br.read(16);
+            if ((len ^ 0xFFFF) != nlen) return SPT_E_PARITY;
+            uint64_t db0 = br.byte_cursor();
+            if ((db0 + len) > n) return SPT_E_TABLE;
+            if (len > 0) {
+                if (pending_unit >= 0) return 0;  // token/stored mix
+                if (o + len > out_size) return 0;
+                if (o % ob != 0) {
+                    if (!stored_open) return 0;   // huffman/stored mix
+                    if (gap_off[unit] != GAP_NONE) return 0;  // two gaps
+                    gap_off[unit] = (uint32_t)(o % ob);
+                }
+                uint64_t end_o = o + len;
+                uint64_t first_u = (o % ob == 0) ? o / ob : o / ob + 1;
+                for (uint64_t u = first_u; u < (end_o + ob - 1) / ob; u++) {
+                    bit_pos[u] = (db0 + (u * ob - o)) * 8;
+                    skip[u] = 0;
+                    n_tokens[u] = 0;
+                    unit_kind[u] = 1;
+                    unit_block[u] = n_blocks ? n_blocks - 1 : 0;
+                }
+                o = end_o;
+                unit = end_o / ob < U ? end_o / ob : U - 1;
+                unit_end = (unit + 1) * ob;
                 toks = 0;
+                unit_open = false;
+                stored_open = end_o % ob != 0 && end_o != out_size;
             }
-            unit_end += ob;
+            // seek past the stored data (byte-aligned)
+            br.pos = db0 + len;
+            br.acc = 0;
+            br.bits = 0;
+            if (final_) break;
+            continue;
         }
+        // ---- huffman block --------------------------------------------
+        if (stored_open) return 0;  // tokens would mix into a stored unit
+        if (n_blocks >= max_blocks) return 0;
+        uint8_t* lit288 = lit_lengths + (size_t)n_blocks * 288;
+        uint8_t* dist32 = dist_lengths + (size_t)n_blocks * 32;
+        int perr = parse_huffman_tables(br, btype, lit288, dist32);
+        if (perr < 0) return perr;
+        uint32_t bid = n_blocks++;
+        int lit_w = build_table(lit288, 288, 15, lit_table);
+        if (lit_w < 0) return SPT_E_TABLE;
+        bool have_dist = false;
+        for (int i = 0; i < 32; i++) have_dist |= dist32[i] != 0;
+        int dist_w = 1;
+        if (have_dist) {
+            dist_w = build_table(dist32, 32, 15, dist_table);
+            if (dist_w < 0) return SPT_E_TABLE;
+        } else {
+            dist_table.assign(2, 0);
+        }
+        if (pending_unit >= 0) {
+            if (eob_jump[pending_unit] != 0) return 0;  // 2nd boundary
+            uint64_t cur = br.pos * 8 - br.bits;
+            if (cur <= pending_end || cur - pending_end > 0xFFFFFFFFull)
+                return 0;
+            eob_jump[pending_unit] = (uint32_t)(cur - pending_end);
+            pending_unit = -1;
+        }
+
+        // ---- token walk -----------------------------------------------
+        bool eob = false;
+        for (;;) {
+            uint64_t tbit = br.pos * 8 - br.bits;
+            uint32_t e = lit_table[br.peek(lit_w)];
+            int l = e >> 16, sym = e & 0xFFFF;
+            if (!l || br.overrun()) return SPT_E_TABLE;
+            br.drop(l);
+            uint64_t tlen = 0;
+            if (sym == 256) {
+                if (unit_open && !final_) {
+                    toks++;  // boundary EOB: zero-output token
+                    pending_unit = (long long)unit;
+                }
+                pending_end = br.pos * 8 - br.bits;
+                eob = true;
+            } else if (sym < 256) {
+                if (!unit_open) {
+                    bit_pos[unit] = tbit;
+                    skip[unit] = 0;
+                    unit_block[unit] = bid;
+                    unit_open = true;
+                    toks = 0;
+                }
+                tlen = 1;
+            } else if (sym > 285) {
+                return SPT_E_TABLE;
+            } else {
+                if (!unit_open) {
+                    bit_pos[unit] = tbit;
+                    skip[unit] = 0;
+                    unit_block[unit] = bid;
+                    unit_open = true;
+                    toks = 0;
+                }
+                int dec = sym - 257;
+                uint32_t run = RUN_BASE[dec] + br.read(RUN_EXTRA[dec]);
+                uint32_t e2 = dist_table[br.peek(dist_w)];
+                int dl = e2 >> 16, dsym = e2 & 0xFFFF;
+                if (!dl || dsym > 29) return SPT_E_TABLE;
+                br.drop(dl);
+                uint32_t dist = DIST_BASE[dsym] + br.read(DIST_EXTRA[dsym]);
+                if (dist > o) return SPT_E_DISTANCE;
+                match_bytes += run;
+                long long s0 = (long long)(o >> 6);
+                long long s1 = (long long)((o + run - 1) >> 6);
+                long long lo = (s0 - 1 > last_seg) ? s0 - 1 : last_seg;
+                match_segs += (uint64_t)(s1 - lo);
+                last_seg = s1;
+                tlen = run;
+            }
+            if (eob) break;
+            toks++;
+            o += tlen;
+            if (o > out_size) return SPT_E_OUTPUT;
+            while (o >= unit_end && unit + 1 < U) {
+                n_tokens[unit] = (uint32_t)toks;
+                unit++;
+                if (o > unit_end) {
+                    bit_pos[unit] = tbit;
+                    skip[unit] = (uint32_t)(tlen - (o - unit_end));
+                    unit_block[unit] = bid;
+                    unit_open = true;
+                    toks = 1;
+                } else {
+                    unit_open = false;
+                    toks = 0;
+                }
+                unit_end += ob;
+            }
+        }
+        if (final_) break;
     }
-    n_tokens[unit] = (uint32_t)toks;
+    (void)final_blk;
+    if (unit_open || toks) n_tokens[unit] = (uint32_t)toks;
     if (o != out_size) return 0;
-    info[0] = br.pos * 8 - br.bits;  // end bit (after EOB)
+    info[0] = br.pos * 8 - br.bits;  // end bit
     info[1] = match_bytes;
     info[2] = match_segs;
+    info[3] = n_blocks ? n_blocks : 0;
     for (uint64_t u = 0; u < U; u++) {
         if (n_tokens[u] > 0xFFFF || skip[u] > 0xFFFF) return 0;
         if (u && bit_pos[u] - bit_pos[u - 1] > 0xFFFFFFFFull) return 0;

@@ -158,8 +158,9 @@ def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
 
     Returns ``(out (B, out_size) uint8, flags (U,) int32, adler (B,)
     uint32, expand_overflow)``.  ``lit_lengths``/``dist_lengths`` are
-    ``(B, 288)`` / ``(B, 32)`` per-stream code lengths (one dynamic block
-    per stream).
+    ``(B, 288)`` / ``(B, 32)`` per-stream code lengths (single-block
+    streams only — multi-block batches route through the Pallas kernel's
+    table-switching variant instead).
     """
     U = spans.shape[0]
     B = n_streams
@@ -361,8 +362,10 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     p, _ = jax.lax.while_loop(e_cond, e_body, (p, jnp.bool_(True)))
     out = litv
     src = out[jnp.clip(p, 0, N - 1)]
-    out = out.at[jnp.clip(cidx, 0, N - 1)].set(
-        jnp.where(cidx < N, src, out[jnp.clip(cidx, 0, N - 1)]))
+    # unused slots keep cidx == N: out of bounds ⇒ dropped (a clip-based
+    # write would collide with a real write to byte N-1 and the scatter's
+    # duplicate-index order is unspecified)
+    out = out.at[cidx].set(src, mode="drop")
     ovf = (jnp.sum(is_m) > expand_cap) | seg_ovf
     return out, ovf, cidx, jnp.where(cidx < N, src, 0)
 
@@ -434,12 +437,16 @@ def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
 @functools.partial(jax.jit, static_argnames=("ob", "n_streams", "out_size",
                                              "expand_cap", "S",
                                              "interpret", "attr16",
-                                             "seg_cap"))
+                                             "seg_cap", "multiblock",
+                                             "has_stored"))
 def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            ob: int, n_streams: int, out_size: int,
                            expand_cap: int, S: int,
                            interpret: bool = False, attr16: bool = False,
-                           seg_cap: int | None = None):
+                           seg_cap: int | None = None,
+                           multiblock: bool = False,
+                           has_stored: bool = False,
+                           stored_gap=None):
     """Indexed inflate with the Pallas decode+stamp kernel.
 
     Same contract as :func:`inflate_indexed`; the token decode,
@@ -448,13 +455,21 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     only the back-reference expansion, the per-unit checksum combine, and
     the match-byte corrections to XLA.  Units carry per-lane tables, so
     streams need no tile alignment (``U_pad`` pads only the global tail).
+
+    ``multiblock`` selects the table-switching kernel (units may cross
+    one DEFLATE block boundary; ``meta`` row 3 carries the per-unit EOB
+    jump).  ``has_stored`` enables the stored-unit byte fill:
+    ``stored_gap`` is ``(U_pad,) int32`` — ``-1`` for token units, else
+    the local offset where a 5-byte stored header interrupts the copy
+    source (``>= ob`` for contiguous copies); stored units' bytes are
+    unpacked densely from their spans (no kernel work, no gathers).
     """
     from .inflate_pallas import SENTINEL, decode_stamp_pallas
 
     B = n_streams
     attr4, kflag, s1k, s2k = decode_stamp_pallas(
         kbound, spans3, meta, tabs, symtab, S=S, ob=ob,
-        interpret=interpret, attr16=attr16)
+        interpret=interpret, attr16=attr16, multiblock=multiblock)
     U_pad = attr4.shape[0] * attr4.shape[1] * 128
     Ui = (out_size + ob - 1) // ob
     U_live = B * Ui
@@ -470,14 +485,32 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     ism_b = attr >= 0                       # match: attr = dist - 1
     is_lit = (attr < 0) & (attr != SENTINEL)
     a32 = attr.astype(jnp.int32)
-    litv = jnp.where(live & is_lit, -a32 - 1, 0
-                     ).reshape(-1).astype(jnp.uint8)
+    litv = jnp.where(live & is_lit, -a32 - 1, 0).astype(jnp.uint8)
+    uncovered = attr == SENTINEL
+
+    if has_stored:
+        stored = (stored_gap >= 0)[:, None]             # (U_pad, 1)
+        # dense byte unpack of each stored unit's span head; the copy
+        # source skips 5 bytes at the recorded gap offset
+        spw = jnp.transpose(spans3, (0, 1, 3, 2)).reshape(U_pad, S)
+        sb = jnp.stack([spw & 255, (spw >> 8) & 255,
+                        (spw >> 16) & 255, (spw >> 24) & 255],
+                       axis=-1).reshape(U_pad, S * 4).astype(jnp.uint8)
+        after = b >= jnp.where(stored_gap >= 0, stored_gap, ob)[:, None]
+        sbytes = jnp.where(after, sb[:, 5:5 + ob], sb[:, :ob])
+        litv = jnp.where(stored & live, sbytes, litv)
+        uncovered = uncovered & ~stored
+        # stored bytes are literals for the checksum: add their partials
+        d = jnp.where(stored & live, sbytes.astype(jnp.int32), 0)
+        s1k = s1k.reshape(U_pad) + jnp.sum(d, axis=1)
+        s2k = s2k.reshape(U_pad) + jnp.sum((ob - b) * d, axis=1)
+
+    litv = litv.reshape(-1)
     ptr = jnp.where(live & ism_b, j - (a32 + 1), j).reshape(-1)
     flag = flag | jnp.where(
         jnp.any((ptr.reshape(U_pad, ob) < (j - j % Opad)) & live & ism_b,
                 axis=1), F_BAD, 0)
-    flag = flag | jnp.where(
-        jnp.any(live & (attr == SENTINEL), axis=1), F_BAD, 0)
+    flag = flag | jnp.where(jnp.any(live & uncovered, axis=1), F_BAD, 0)
     # padding units report no flags (their kernel coverage bit is clear
     # because they own 0 bytes; mask anyway for the global tail)
     flag = jnp.where(u[:, 0] < U_live, flag, 0)
@@ -495,9 +528,11 @@ class CheckpointInflator:
     """Host wrapper: span slicing, bucketing, verification.
 
     One compiled program per (units, span, k_max, out_size) bucket.  The
-    fast path serves single-dynamic-block streams with a
-    :class:`CheckpointIndex`; anything else belongs to the general
-    engines (``InflateFused`` / host / native tiers).
+    fast path serves any :class:`CheckpointIndex`-indexable stream —
+    multi-block dynamic/fixed streams (per-unit table columns + boundary
+    EOB jumps) and stored blocks (dense XLA byte fills) included; streams
+    outside the index's structural limits belong to the general engines
+    (``InflateFused`` / host / native tiers).
     """
 
     def __init__(self, ob: int = 1024, backend: str = "auto"):
@@ -518,16 +553,21 @@ class CheckpointInflator:
 
     def prepare(self, bodies: list[bytes], indexes: list[CheckpointIndex]):
         """Slice per-unit spans to a dense device layout (host memcpy)."""
-        from .inflate_pallas import TUB, TAB_ROWS, prepare_block_tables
+        from ..lz77.index import GAP_NONE, KIND_STORED
+        from .inflate_pallas import TUB, prepare_block_tables
 
-        pallas = self.backend == "pallas"
+        multiblock = any(ix.multiblock for ix in indexes)
+        pallas = self.backend == "pallas" or multiblock
         out_size = indexes[0].out_size
         ob = indexes[0].ob
         Ui = (out_size + ob - 1) // ob
         B = len(bodies)
         U_live = B * Ui
         U = -(-U_live // TUB) * TUB if pallas else U_live
+        has_stored = any(ix.unit_kind.any() for ix in indexes)
         span_bytes = max(ix.max_span_bytes() for ix in indexes)
+        if has_stored:
+            span_bytes = max(span_bytes, ob + 9)
         if pallas:
             S = -(-((span_bytes + 3) // 4) // 8) * 8
         else:
@@ -537,6 +577,12 @@ class CheckpointInflator:
         n_tokens = np.zeros(U, np.int32)
         skip = np.zeros(U, np.int32)
         owned = np.zeros(U, np.int32)
+        jump = np.zeros(U, np.int32)
+        sgap = np.full(U, -1, np.int32)
+        tab_a = np.zeros(U, np.int64)   # per-unit block-table ids into the
+        tab_b = np.zeros(U, np.int64)   # stacked all-streams table pool
+        pool_lit: list[np.ndarray] = []
+        pool_dist: list[np.ndarray] = []
         lit = np.zeros((B, 288), np.int32)
         dist = np.zeros((B, 32), np.int32)
         for i, (body, ix) in enumerate(zip(bodies, indexes)):
@@ -552,38 +598,70 @@ class CheckpointInflator:
                 ix.bit_pos - (sb << 3).astype(np.uint64)).astype(np.int32)
             n_tokens[base: base + Ui] = ix.n_tokens
             skip[base: base + Ui] = ix.skip
-            owned[base: base + Ui] = np.minimum(
-                ob, out_size - np.arange(Ui) * ob)
-            lit[i] = ix.lit_lengths
-            dist[i] = ix.dist_lengths
+            ow = np.minimum(ob, out_size - np.arange(Ui) * ob)
+            st = ix.unit_kind == KIND_STORED
+            # stored units skip the kernel entirely (owned 0 ⇒ inactive);
+            # their bytes are unpacked densely on the XLA side
+            owned[base: base + Ui] = np.where(st, 0, ow)
+            jump[base: base + Ui] = ix.eob_jump.astype(np.int32)
+            sgap[base: base + Ui] = np.where(
+                st, np.where(ix.gap_off == GAP_NONE, ob,
+                             ix.gap_off.astype(np.int32)), -1)
+            p0 = len(pool_lit)
+            NBi = ix.n_blocks
+            for bnum in range(NBi):
+                pool_lit.append(ix.lit_lengths[bnum])
+                pool_dist.append(ix.dist_lengths[bnum])
+            tab_a[base: base + Ui] = p0 + ix.unit_block
+            tab_b[base: base + Ui] = p0 + np.minimum(
+                ix.unit_block + 1, NBi - 1)
+            lit[i] = ix.lit_lengths[0]
+            dist[i] = ix.dist_lengths[0]
         spans32 = spans.reshape(U, S, 4).astype(np.uint32)
         spans_w = (spans32[:, :, 0] | spans32[:, :, 1] << 8
                    | spans32[:, :, 2] << 16 | spans32[:, :, 3] << 24)
-        prep = dict(out_size=out_size, ob=ob, B=B, Ui_pad=Ui, S=S)
+        prep = dict(out_size=out_size, ob=ob, B=B, Ui_pad=Ui, S=S,
+                    multiblock=multiblock, has_stored=has_stored,
+                    use_pallas=pallas)
         if pallas:
             Ur = U // 128
             T = U // TUB
             # transposed span layout: units on lanes, words on sublanes
             prep["spans3"] = jnp.asarray(np.ascontiguousarray(
                 spans_w.reshape(T, TUB // 128, 128, S).transpose(0, 1, 3, 2)))
+            mrows = [sub0, skip, owned] + ([jump] if multiblock else [])
             prep["meta"] = jnp.asarray(
-                np.stack([sub0, skip, owned]).reshape(3, Ur, 128))
-            # per-unit table columns (tiles may mix streams/blocks)
-            tabsym = [prepare_block_tables(lit[i], dist[i])
-                      for i in range(B)]
-            tabs_all = np.stack([t[0] for t in tabsym])    # (B, 72)
-            sym_all = np.stack([t[1] for t in tabsym])     # (B, 128)
-            ublock = np.zeros(U, np.int64)
-            ublock[:U_live] = np.repeat(np.arange(B), Ui)
+                np.stack(mrows).reshape(len(mrows), Ur, 128))
+            # per-unit table columns (tiles may mix streams/blocks); the
+            # multiblock kernel also carries each unit's *next*-block
+            # tables (switched to at the boundary EOB)
+            tabsym = [prepare_block_tables(pool_lit[p], pool_dist[p])
+                      for p in range(len(pool_lit))]
+            tabs_all = np.stack([t[0] for t in tabsym])    # (P, 72)
+            sym_all = np.stack([t[1] for t in tabsym])     # (P, 128)
+            ids_a = np.zeros(U, np.int64)
+            ids_a[:U_live] = tab_a[:U_live]
+            cols_t = tabs_all[ids_a]                       # (U, 72)
+            cols_s = sym_all[ids_a]                        # (U, 128)
+            if multiblock:
+                ids_b = np.zeros(U, np.int64)
+                ids_b[:U_live] = tab_b[:U_live]
+                cols_t = np.concatenate(
+                    [cols_t, tabs_all[ids_b]], axis=1)     # (U, 144)
+                cols_s = np.concatenate(
+                    [cols_s, sym_all[ids_b]], axis=1)      # (U, 256)
+            tr = cols_t.shape[1]
+            sr = cols_s.shape[1]
             prep["tabs"] = jnp.asarray(np.ascontiguousarray(
-                tabs_all[ublock].reshape(T, TUB // 128, 128, TAB_ROWS)
+                cols_t.reshape(T, TUB // 128, 128, tr)
                 .transpose(0, 3, 1, 2)))
             prep["symtab"] = jnp.asarray(np.ascontiguousarray(
-                sym_all[ublock].reshape(T, TUB // 128, 128, 128)
+                cols_s.reshape(T, TUB // 128, 128, sr)
                 .transpose(0, 3, 1, 2)))
             prep["kbound"] = jnp.asarray(
                 n_tokens.reshape(T, TUB).max(axis=1, keepdims=True)
                 .astype(np.int32))
+            prep["stored_gap"] = jnp.asarray(sgap) if has_stored else None
         else:
             prep.update(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),
                         n_tokens=jnp.asarray(n_tokens),
@@ -611,13 +689,17 @@ class CheckpointInflator:
             seg_cap = None
         interpret = jax.default_backend() == "cpu"
         while True:
-            if self.backend == "pallas":
+            if prep["use_pallas"]:
                 out, flag, adler, ovf = inflate_indexed_pallas(
                     prep["kbound"], prep["spans3"], prep["meta"],
                     prep["tabs"], prep["symtab"], ob=prep["ob"],
                     n_streams=prep["B"], out_size=prep["out_size"],
                     expand_cap=expand_cap, S=prep["S"],
-                    interpret=interpret, seg_cap=seg_cap)
+                    interpret=interpret, seg_cap=seg_cap,
+                    multiblock=prep["multiblock"],
+                    has_stored=prep["has_stored"],
+                    stored_gap=prep["stored_gap"]
+                    if prep["has_stored"] else None)
             else:
                 out, flag, adler, ovf = inflate_indexed(
                     prep["spans"], prep["sub0"], prep["n_tokens"],

@@ -128,10 +128,12 @@ def _rev15(x):
 
 
 def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
-                 unroll: int):
+                 unroll: int, multiblock: bool = False):
     import jax.experimental.pallas as pl  # deferred: CPU tests import-safe
 
     adt = jnp.int16 if attr16 else jnp.int32
+    NSYM = 256 if multiblock else 128    # packed literal symbol rows
+    NDS = 16 if multiblock else 8        # packed distance symbol rows
 
     def kernel(kb_ref, spans_ref, meta_ref, tabs_ref, symtab_ref,
                attr_ref, flag_ref, s1_ref, s2_ref):
@@ -141,10 +143,9 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         owned = meta_ref[2]  # live bytes of this unit (<= ob; 0 = padding)
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (TUR, S, 128), 1)
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (TUR, ob, 128), 1)
-        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, TUR, 128), 0)
-        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, TUR, 128), 0)
+        iota_sym = jax.lax.broadcasted_iota(jnp.int32, (NSYM, TUR, 128), 0)
+        iota_ds = jax.lax.broadcasted_iota(jnp.int32, (NDS, TUR, 128), 0)
         symtab = jax.lax.bitcast_convert_type(symtab_ref[0], jnp.int32)
-        dist_sym = tabs_ref[0, 64:72]        # (8, TUR, 128) packed dsyms
 
         # per-unit canonical scalars: threshold/adjust rows (length 1…15)
         # — the table axis leads the layout, so every extract is a
@@ -153,6 +154,19 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         lit_adj = [tabs_ref[0, 16 + t] for t in range(1, 16)]
         dist_T = [tabs_ref[0, 32 + t] for t in range(1, 16)]
         dist_adj = [tabs_ref[0, 48 + t] for t in range(1, 16)]
+        if multiblock:
+            # second table column (the unit's next block, switched to at
+            # the boundary EOB); meta row 3 = per-unit EOB bit jump
+            jumpv = meta_ref[3]
+            lit_T2 = [tabs_ref[0, 72 + t] for t in range(1, 16)]
+            lit_adj2 = [tabs_ref[0, 88 + t] for t in range(1, 16)]
+            dist_T2 = [tabs_ref[0, 104 + t] for t in range(1, 16)]
+            dist_adj2 = [tabs_ref[0, 120 + t] for t in range(1, 16)]
+            # packed distance symbols: rows 64..72 (A) ++ 136..144 (B)
+            dist_sym = jnp.concatenate(
+                [tabs_ref[0, 64:72], tabs_ref[0, 136:144]], axis=0)
+        else:
+            dist_sym = tabs_ref[0, 64:72]    # (8, TUR, 128) packed dsyms
 
         def sel15(lsel, rows):
             acc = jnp.zeros((TUR, 128), jnp.int32)
@@ -161,7 +175,10 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             return acc
 
         def body(k, carry):
-            bitrel, cur, flag = carry
+            if multiblock:
+                bitrel, cur, flag, sw = carry
+                swb = sw > 0
+            bitrel, cur, flag = carry[:3]
             active = cur < owned
             # three consecutive span words with one shared offset grid:
             # the whole <=48-bit token lives in words widx..widx+2 because
@@ -184,15 +201,26 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             r15 = _rev15(win & 0x7FFF).astype(jnp.int32)
             l = jnp.ones((TUR, 128), jnp.int32)
             for t in range(1, 16):
-                l = l + (r15 >= lit_T[t - 1]).astype(jnp.int32)
+                if multiblock:
+                    thr = jnp.where(swb, lit_T2[t - 1], lit_T[t - 1])
+                else:
+                    thr = lit_T[t - 1]
+                l = l + (r15 >= thr).astype(jnp.int32)
             lbad = l > 15
             ls = jnp.minimum(l, 15)
             code = r15 >> (15 - ls)
-            symidx = jnp.clip(code + sel15(ls, lit_adj), 0, 383)
+            if multiblock:
+                adj = jnp.where(swb, sel15(ls, lit_adj2),
+                                sel15(ls, lit_adj))
+            else:
+                adj = sel15(ls, lit_adj)
+            symidx = jnp.clip(code + adj, 0, 383)
             q3 = (symidx * 21846) >> 16
             r3 = symidx - (q3 + (q3 << 1))
+            if multiblock:
+                q3 = q3 + jnp.where(swb, 128, 0)
             wsym = jnp.sum(
-                jnp.where(iota128 == q3[None, :, :], symtab, 0), axis=0)
+                jnp.where(iota_sym == q3[None, :, :], symtab, 0), axis=0)
             sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
             dec = jnp.clip(sym - 257, 0, 28)
             # RFC 1951 run decade closed form (no table)
@@ -218,13 +246,25 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
             dl = jnp.ones((TUR, 128), jnp.int32)
             for t in range(1, 16):
-                dl = dl + (r15d >= dist_T[t - 1]).astype(jnp.int32)
+                if multiblock:
+                    thr = jnp.where(swb, dist_T2[t - 1], dist_T[t - 1])
+                else:
+                    thr = dist_T[t - 1]
+                dl = dl + (r15d >= thr).astype(jnp.int32)
             dbad = dl > 15
             dls = jnp.minimum(dl, 15)
             dcode = r15d >> (15 - dls)
-            didx = jnp.clip(dcode + sel15(dls, dist_adj), 0, 31)
+            if multiblock:
+                dadj = jnp.where(swb, sel15(dls, dist_adj2),
+                                 sel15(dls, dist_adj))
+            else:
+                dadj = sel15(dls, dist_adj)
+            didx = jnp.clip(dcode + dadj, 0, 31)
+            drow = didx >> 2
+            if multiblock:
+                drow = drow + jnp.where(swb, 8, 0)
             wd = jnp.sum(
-                jnp.where(iota8 == (didx >> 2)[None, :, :], dist_sym, 0),
+                jnp.where(iota_ds == drow[None, :, :], dist_sym, 0),
                 axis=0)
             dsym = (wd >> ((didx & 3) << 3)) & 255
             ds = jnp.minimum(dsym, 29)
@@ -235,8 +275,16 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 & ((1 << e_d) - 1))
             is_match = is_runtok & ~dbad & (dsym <= 29)
 
-            bad = active & (lbad | is_eob | (~is_lit & ~is_eob
-                                             & ~is_runtok)
+            if multiblock:
+                # boundary EOB: jump over the next block's header and
+                # switch to the unit's second table column (at most one
+                # crossing per unit — the index guarantees it)
+                may_jump = is_eob & (jumpv > 0) & ~swb
+                bad_eob = is_eob & ~may_jump
+            else:
+                bad_eob = is_eob
+            bad = active & (lbad | bad_eob | (~is_lit & ~is_eob
+                                              & ~is_runtok)
                             | (is_runtok & ~is_match))
             tl = jnp.where(active & is_lit, 1,
                            jnp.where(active & is_match, run, 0))
@@ -251,8 +299,13 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             mask = iota_b >= start[:, None, :]
             attr_ref[0] = jnp.where(mask, aux[:, None, :], attr_ref[0])
             step = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
+            if multiblock:
+                step = jnp.where(may_jump, ls + jumpv, step)
             bitrel = bitrel + jnp.where(active & ~bad, step, 0)
             flag = flag | jnp.where(bad, 1, 0)
+            if multiblock:
+                sw = sw | jnp.where(active & may_jump, 1, 0)
+                return bitrel, cur + tl, flag, sw
             return bitrel, cur + tl, flag
 
         attr_ref[0] = jnp.full((TUR, ob, 128), SENTINEL, adt)
@@ -261,8 +314,11 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         flag0 = jnp.zeros((TUR, 128), jnp.int32)
         kb = k_static if k_static is not None else kb_ref[pl.program_id(0),
                                                           0]
-        bitrel, cur, flag = jax.lax.fori_loop(
-            0, kb, body, (bitrel0, cur0, flag0), unroll=unroll)
+        init = (bitrel0, cur0, flag0)
+        if multiblock:
+            init = init + (jnp.zeros((TUR, 128), jnp.int32),)
+        fin = jax.lax.fori_loop(0, kb, body, init, unroll=unroll)
+        bitrel, cur, flag = fin[:3]
         # coverage: every owned byte must be stamped (the last unit of a
         # stream owns < ob bytes; padding units own 0)
         flag = flag | jnp.where(cur < owned, 2, 0)
@@ -284,11 +340,11 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
 
 @functools.partial(jax.jit, static_argnames=("S", "ob", "interpret",
                                              "k_static", "attr16",
-                                             "unroll"))
+                                             "unroll", "multiblock"))
 def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
                         S: int, ob: int, interpret: bool = False,
                         k_static: int | None = None, attr16: bool = False,
-                        unroll: int = 1):
+                        unroll: int = 1, multiblock: bool = False):
     """Run the lockstep decode+stamp kernel over all unit tiles.
 
     Args:
@@ -300,11 +356,13 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
       meta: ``(3, Ur, 128)`` int32 — sub-bit, skip, owned bytes per unit
         (termination is by output coverage: a unit decodes until its
         cursor reaches its owned byte count).
-      tabs: ``(T, 72, TUR, 128)`` int32 — per-unit packed canonical
+      tabs: ``(T, 72|144, TUR, 128)`` int32 — per-unit packed canonical
         tables (:func:`prepare_block_tables` columns; table axis leads so
-        in-kernel extracts are contiguous slabs).
-      symtab: ``(T, 128, TUR, 128)`` int32 — per-unit packed literal
-        symbol tables.
+        in-kernel extracts are contiguous slabs).  With ``multiblock``,
+        rows 72…144 hold each unit's *next*-block tables and ``meta``
+        gains row 3 (the per-unit EOB bit jump).
+      symtab: ``(T, 128|256, TUR, 128)`` int32 — per-unit packed literal
+        symbol tables (A ++ B with ``multiblock``).
       k_static/attr16/unroll: measured-performance knobs (static loop
         bound instead of the per-tile SMEM bound; int16 vs int32 stamp;
         step-loop unrolling).
@@ -317,7 +375,10 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
 
     n_tiles = spans.shape[0]
     Ur = n_tiles * TUR
-    kernel = _make_kernel(S, ob, k_static, attr16, unroll)
+    mrows = meta.shape[0]
+    trows = tabs.shape[1]
+    srows = symtab.shape[1]
+    kernel = _make_kernel(S, ob, k_static, attr16, unroll, multiblock)
     attr, flag, s1, s2 = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -325,11 +386,11 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TUR, S, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TUR, 128), lambda t: (0, t, 0),
+            pl.BlockSpec((mrows, TUR, 128), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TAB_ROWS, TUR, 128), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, trows, TUR, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128, TUR, 128), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, srows, TUR, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -87,8 +87,10 @@ def test_indexed_inflate_small_ob_crossing_tokens():
     assert bytes(out[0]) == data
 
 
-def test_index_multi_block_returns_none():
-    # the streaming host deflator flushes 4096-byte blocks → multi-block
+def test_index_multi_block_decodes():
+    # the streaming host deflator flushes 4096-byte blocks → multi-block;
+    # the v2 index records per-block tables + boundary-EOB jumps and the
+    # device path decodes with per-unit table switching
     d = Deflator(level=4)
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
@@ -96,7 +98,67 @@ def test_index_multi_block_returns_none():
         d.push(data[i:i + 8192], last=i + 8192 >= len(data))
     stream = d.pull()
     ix = build_index(stream[2:-4], len(data), ob=1024)
-    assert ix is None
+    assert ix is not None and ix.multiblock and ix.n_blocks > 1
+    assert int((ix.eob_jump > 0).sum()) == ix.n_blocks - 1
+    eng = CheckpointInflator(ob=1024)
+    out = eng.inflate_zlib_batch([stream], len(data), keep_on_device=False)
+    assert bytes(out[0]) == data
+
+
+def test_index_multi_block_pallas_interpret():
+    # same stream through the Pallas kernel's table-switching variant
+    d = Deflator(level=4)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    for i in range(0, len(data), 8192):
+        d.push(data[i:i + 8192], last=i + 8192 >= len(data))
+    stream = d.pull()
+    ix = build_index(stream[2:-4], len(data), ob=256)
+    assert ix is not None and ix.multiblock
+    eng = CheckpointInflator(ob=256, backend="pallas")
+    out = eng.inflate_zlib_batch([stream], len(data), keep_on_device=False)
+    assert bytes(out[0]) == data
+
+
+def test_index_stdlib_multiblock_and_stored():
+    rng = np.random.default_rng(7)
+    # stdlib zlib multi-block dynamic
+    data = bytes((rng.integers(0, 8, 120_000, dtype=np.uint8) * 31 % 251))
+    eng = CheckpointInflator(ob=256)
+    out = eng.inflate_zlib_batch([zlib.compress(data, 6)] * 2, len(data),
+                                 keep_on_device=False)
+    assert bytes(out[0]) == data and bytes(out[1]) == data
+    # stored chain (level 0): 65 531/65 535-byte blocks cross unit
+    # boundaries mid-unit — the index records 5-byte source gaps
+    d2 = bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
+    ix = build_index(zlib.compress(d2, 0)[2:-4], len(d2), ob=256)
+    assert ix is not None and ix.unit_kind.any()
+    from swift_png_tpu.lz77.index import GAP_NONE
+
+    assert int((ix.gap_off != GAP_NONE).sum()) >= 1
+    out = eng.inflate_zlib_batch([zlib.compress(d2, 0)], len(d2),
+                                 keep_on_device=False)
+    assert bytes(out[0]) == d2
+
+
+def test_index_v2_serialize_roundtrip_multiblock():
+    from swift_png_tpu.lz77.index import CheckpointIndex
+
+    rng = np.random.default_rng(9)
+    data = bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
+    for level in (0, 6):
+        body = zlib.compress(data, level)[2:-4]
+        ix = build_index(body, len(data), ob=256)
+        assert ix is not None
+        p = CheckpointIndex.parse(ix.serialize())
+        np.testing.assert_array_equal(p.bit_pos, ix.bit_pos)
+        np.testing.assert_array_equal(p.n_tokens, ix.n_tokens)
+        np.testing.assert_array_equal(p.unit_block, ix.unit_block)
+        np.testing.assert_array_equal(p.unit_kind, ix.unit_kind)
+        np.testing.assert_array_equal(p.eob_jump, ix.eob_jump)
+        np.testing.assert_array_equal(p.gap_off, ix.gap_off)
+        np.testing.assert_array_equal(p.lit_lengths, ix.lit_lengths)
+        np.testing.assert_array_equal(p.dist_lengths, ix.dist_lengths)
 
 
 def test_index_matches_stdlib_single_block():
