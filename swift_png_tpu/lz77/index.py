@@ -128,20 +128,23 @@ class CheckpointIndex:
                     or self.eob_jump.any())
 
     def max_span_bytes(self) -> int:
-        """Largest compressed span any unit reads (incl. 8-byte lookahead)."""
+        """Largest compressed span any unit reads (incl. lookahead).
+
+        A unit's last decoded token is the first one whose output reaches
+        its owned byte count.  Token bit positions are monotone and
+        ``bit_pos[u+1]`` is the position of a token at-or-after that one
+        (the next unit's first token — possibly the same crossing token),
+        so every token this unit decodes *starts* at ``<= bit_pos[u+1]``.
+        The decoder reads at most 96 bits from a token's start (three
+        32-bit words), so the span must cover bit ``bit_pos[u+1] + 95``.
+        This holds for multi-block units too (the boundary-EOB jump only
+        advances the cursor toward later, still-monotone positions).
+        """
         ends = np.empty_like(self.bit_pos)
         ends[:-1] = self.bit_pos[1:]
         ends[-1] = self.end_bit
-        # a unit re-decodes its tail token (the next unit's first token),
-        # which ends at or before the start of the unit-after-next
-        tail = np.empty_like(self.bit_pos)
-        tail[:-2] = self.bit_pos[2:]
-        tail[-2:] = self.end_bit
-        spans = (tail >> 3) - (self.bit_pos >> 3) + 1
-        # +16: when ob < 259 a 258-run can span three units, so the
-        # unit-after-next's first token can BE this unit's tail token —
-        # cover its ≤48 bits plus the 56-bit lookahead
-        return int(spans.max()) + 16
+        spans = ((ends + 95) >> 3) - (self.bit_pos >> 3) + 1
+        return int(spans.max()) + 4
 
     # ---- serialization (spIx chunk payload) ----------------------------
 

@@ -639,6 +639,14 @@ class CheckpointInflator:
                       for p in range(len(pool_lit))]
             tabs_all = np.stack([t[0] for t in tabsym])    # (P, 72)
             sym_all = np.stack([t[1] for t in tabsym])     # (P, 128)
+            # trim the packed literal-symbol rows to the populated range:
+            # non-lbad decodes always land at symidx < nlit, so the
+            # kernel's one-hot scan needs only ceil(max nlit / 3) rows
+            max_nlit = max(int(np.count_nonzero(pool_lit[p]))
+                           for p in range(len(pool_lit)))
+            rows3 = -(-max_nlit // 3)
+            R = max(8, -(-rows3 // 8) * 8)
+            sym_all = np.ascontiguousarray(sym_all[:, :R])
             ids_a = np.zeros(U, np.int64)
             ids_a[:U_live] = tab_a[:U_live]
             cols_t = tabs_all[ids_a]                       # (U, 72)

@@ -128,11 +128,16 @@ def _rev15(x):
 
 
 def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
-                 unroll: int, multiblock: bool = False):
+                 unroll: int, multiblock: bool = False,
+                 nsym_rows: int = 128):
     import jax.experimental.pallas as pl  # deferred: CPU tests import-safe
 
     adt = jnp.int16 if attr16 else jnp.int32
-    NSYM = 256 if multiblock else 128    # packed literal symbol rows
+    # packed literal symbol rows per table: every structurally-valid
+    # (non-lbad) decode lands at symidx < nlit <= 3·nsym_rows, so the
+    # one-hot scan only needs the populated rows (<= 96 for a full
+    # 288-symbol alphabet), not the full clip-range padding
+    NSYM = nsym_rows * 2 if multiblock else nsym_rows
     NDS = 16 if multiblock else 8        # packed distance symbol rows
 
     def kernel(kb_ref, spans_ref, meta_ref, tabs_ref, symtab_ref,
@@ -154,6 +159,11 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         lit_adj = [tabs_ref[0, 16 + t] for t in range(1, 16)]
         dist_T = [tabs_ref[0, 32 + t] for t in range(1, 16)]
         dist_adj = [tabs_ref[0, 48 + t] for t in range(1, 16)]
+        # hoisted adjust deltas: adj(l) = adj[0] + Σ_{t<l} Δ[t] folds the
+        # sel15 one-hot into the threshold-compare loop (its `ge` bits
+        # already say t < l for non-decreasing thresholds)
+        lit_dadj = [lit_adj[t] - lit_adj[t - 1] for t in range(1, 15)]
+        dist_dadj = [dist_adj[t] - dist_adj[t - 1] for t in range(1, 15)]
         if multiblock:
             # second table column (the unit's next block, switched to at
             # the boundary EOB); meta row 3 = per-unit EOB bit jump
@@ -162,63 +172,65 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             lit_adj2 = [tabs_ref[0, 88 + t] for t in range(1, 16)]
             dist_T2 = [tabs_ref[0, 104 + t] for t in range(1, 16)]
             dist_adj2 = [tabs_ref[0, 120 + t] for t in range(1, 16)]
+            lit_dadj2 = [lit_adj2[t] - lit_adj2[t - 1] for t in range(1, 15)]
+            dist_dadj2 = [dist_adj2[t] - dist_adj2[t - 1]
+                          for t in range(1, 15)]
             # packed distance symbols: rows 64..72 (A) ++ 136..144 (B)
             dist_sym = jnp.concatenate(
                 [tabs_ref[0, 64:72], tabs_ref[0, 136:144]], axis=0)
         else:
             dist_sym = tabs_ref[0, 64:72]    # (8, TUR, 128) packed dsyms
 
-        def sel15(lsel, rows):
-            acc = jnp.zeros((TUR, 128), jnp.int32)
-            for t in range(1, 16):
-                acc = acc + jnp.where(lsel == t, rows[t - 1], 0)
-            return acc
-
         def body(k, carry):
             if multiblock:
-                bitrel, cur, flag, sw = carry
+                bitrel, cur, flag, w0, w1, w2, sw = carry
                 swb = sw > 0
-            bitrel, cur, flag = carry[:3]
+            else:
+                bitrel, cur, flag, w0, w1, w2 = carry
             active = cur < owned
-            # three consecutive span words with one shared offset grid:
-            # the whole <=48-bit token lives in words widx..widx+2 because
-            # lit code + run extra consume <= 20 bits (sub <= 31 => the
-            # distance window starts in word widx or widx+1)
+            # w0..w2 ride the loop carry (registers): the invariant is
+            # w_i = span word (bitrel >> 5) + i — the whole <=48-bit token
+            # lives in these three words because lit code + run extra
+            # consume <= 20 bits (sub <= 31 => the distance window starts
+            # in word widx or widx+1).  Refill at the step's end needs
+            # only TWO one-hot picks (the old three-per-step picks were
+            # the kernel's dominant VMEM term).
             wq = bitrel >> 5
-            d3 = iota_s - wq[:, None, :]
-            w0 = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(d3 == 0, spans, 0), axis=1), jnp.uint32)
-            w1 = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(d3 == 1, spans, 0), axis=1), jnp.uint32)
-            w2 = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(d3 == 2, spans, 0), axis=1), jnp.uint32)
             sub = (bitrel & 31).astype(jnp.uint32)
             win = (w0 >> sub) | jnp.where(
                 sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
 
-            # literal/run decode: closed-form canonical compare, then the
+            # literal/run decode: closed-form canonical compare with the
+            # adjust folded into the same loop (ge_t == "t < l"), then the
             # packed symbol row (symidx = 3q + r → row q, 10-bit field r)
             r15 = _rev15(win & 0x7FFF).astype(jnp.int32)
             l = jnp.ones((TUR, 128), jnp.int32)
+            if multiblock:
+                adj = jnp.where(swb, lit_adj2[0], lit_adj[0])
+            else:
+                adj = lit_adj[0]
             for t in range(1, 16):
                 if multiblock:
                     thr = jnp.where(swb, lit_T2[t - 1], lit_T[t - 1])
                 else:
                     thr = lit_T[t - 1]
-                l = l + (r15 >= thr).astype(jnp.int32)
+                ge = r15 >= thr
+                l = l + ge.astype(jnp.int32)
+                if t < 15:
+                    if multiblock:
+                        d_adj = jnp.where(swb, lit_dadj2[t - 1],
+                                          lit_dadj[t - 1])
+                    else:
+                        d_adj = lit_dadj[t - 1]
+                    adj = adj + jnp.where(ge, d_adj, 0)
             lbad = l > 15
             ls = jnp.minimum(l, 15)
             code = r15 >> (15 - ls)
-            if multiblock:
-                adj = jnp.where(swb, sel15(ls, lit_adj2),
-                                sel15(ls, lit_adj))
-            else:
-                adj = sel15(ls, lit_adj)
-            symidx = jnp.clip(code + adj, 0, 383)
+            symidx = jnp.clip(code + adj, 0, 3 * nsym_rows - 1)
             q3 = (symidx * 21846) >> 16
             r3 = symidx - (q3 + (q3 << 1))
             if multiblock:
-                q3 = q3 + jnp.where(swb, 128, 0)
+                q3 = q3 + jnp.where(swb, nsym_rows, 0)
             wsym = jnp.sum(
                 jnp.where(iota_sym == q3[None, :, :], symtab, 0), axis=0)
             sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
@@ -245,20 +257,27 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 sub2 == 0, jnp.uint32(0), wb << ((32 - sub2) & 31))
             r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
             dl = jnp.ones((TUR, 128), jnp.int32)
+            if multiblock:
+                dadj = jnp.where(swb, dist_adj2[0], dist_adj[0])
+            else:
+                dadj = dist_adj[0]
             for t in range(1, 16):
                 if multiblock:
                     thr = jnp.where(swb, dist_T2[t - 1], dist_T[t - 1])
                 else:
                     thr = dist_T[t - 1]
-                dl = dl + (r15d >= thr).astype(jnp.int32)
+                ge = r15d >= thr
+                dl = dl + ge.astype(jnp.int32)
+                if t < 15:
+                    if multiblock:
+                        d_adj = jnp.where(swb, dist_dadj2[t - 1],
+                                          dist_dadj[t - 1])
+                    else:
+                        d_adj = dist_dadj[t - 1]
+                    dadj = dadj + jnp.where(ge, d_adj, 0)
             dbad = dl > 15
             dls = jnp.minimum(dl, 15)
             dcode = r15d >> (15 - dls)
-            if multiblock:
-                dadj = jnp.where(swb, sel15(dls, dist_adj2),
-                                 sel15(dls, dist_adj))
-            else:
-                dadj = sel15(dls, dist_adj)
             didx = jnp.clip(dcode + dadj, 0, 31)
             drow = didx >> 2
             if multiblock:
@@ -303,10 +322,30 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 step = jnp.where(may_jump, ls + jumpv, step)
             bitrel = bitrel + jnp.where(active & ~bad, step, 0)
             flag = flag | jnp.where(bad, 1, 0)
+
+            # window refill: two picks at the new base (+ a third only on
+            # the multiblock jump path, whose shift can exceed 2 words)
+            new_wq = bitrel >> 5
+            sh = new_wq - wq
+            d3 = iota_s - new_wq[:, None, :]
+            p1 = jax.lax.bitcast_convert_type(
+                jnp.sum(jnp.where(d3 == 1, spans, 0), axis=1), jnp.uint32)
+            p2 = jax.lax.bitcast_convert_type(
+                jnp.sum(jnp.where(d3 == 2, spans, 0), axis=1), jnp.uint32)
+            w0s = jnp.where(sh == 0, w0, jnp.where(sh == 1, w1, w2))
+            if multiblock:
+                p0 = jax.lax.bitcast_convert_type(
+                    jnp.sum(jnp.where(d3 == 0, spans, 0), axis=1),
+                    jnp.uint32)
+                w0n = jnp.where(sh > 2, p0, w0s)
+            else:
+                w0n = w0s  # sh <= 2: token steps are <= 48 bits
+            w1n = jnp.where(sh == 0, w1, jnp.where(sh == 1, w2, p1))
+            w2n = jnp.where(sh == 0, w2, p2)
             if multiblock:
                 sw = sw | jnp.where(active & may_jump, 1, 0)
-                return bitrel, cur + tl, flag, sw
-            return bitrel, cur + tl, flag
+                return bitrel, cur + tl, flag, w0n, w1n, w2n, sw
+            return bitrel, cur + tl, flag, w0n, w1n, w2n
 
         attr_ref[0] = jnp.full((TUR, ob, 128), SENTINEL, adt)
         bitrel0 = sub0
@@ -314,7 +353,12 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         flag0 = jnp.zeros((TUR, 128), jnp.int32)
         kb = k_static if k_static is not None else kb_ref[pl.program_id(0),
                                                           0]
-        init = (bitrel0, cur0, flag0)
+        # initial window: sub0 < 8 (prepare() aligns spans to the first
+        # token's byte), so the register window starts at words 0..2
+        w_init = tuple(
+            jax.lax.bitcast_convert_type(spans[:, i, :], jnp.uint32)
+            for i in range(3))
+        init = (bitrel0, cur0, flag0) + w_init
         if multiblock:
             init = init + (jnp.zeros((TUR, 128), jnp.int32),)
         fin = jax.lax.fori_loop(0, kb, body, init, unroll=unroll)
@@ -378,7 +422,8 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
     mrows = meta.shape[0]
     trows = tabs.shape[1]
     srows = symtab.shape[1]
-    kernel = _make_kernel(S, ob, k_static, attr16, unroll, multiblock)
+    kernel = _make_kernel(S, ob, k_static, attr16, unroll, multiblock,
+                          nsym_rows=srows // (2 if multiblock else 1))
     attr, flag, s1, s2 = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

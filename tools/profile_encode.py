@@ -1,0 +1,143 @@
+"""Stage-level breakdown of deflate_device_optimal (level 9) on chip.
+
+timeout 2400 python tools/profile_encode.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_axon")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import bench as B_
+    from swift_png_tpu.ops.deflate_optimal import (
+        KCAND, NB, Depths, _extra_menu, _rep128, _tables_from_depths,
+        candidates_device, default_menu, optimal_parse_device)
+    from swift_png_tpu.lz77.huffman import lengths_from_frequencies
+
+    H, W = 512, 512
+    data = B_._filtered(B_._image(0, H, W)).tobytes()
+    n = len(data)
+    menu = default_menu(n, bpp=4, pitch=W * 4 + 1)
+    menu += [d for d in _extra_menu(data) if d not in menu]
+    menu = tuple(sorted(menu))
+    chunks = -(-n // NB)
+    Tc = -(-chunks // 128)
+    Npad = Tc * 128 * NB
+    buf = np.zeros(Npad, np.uint8)
+    buf[:n] = np.frombuffer(data, np.uint8)
+
+    def t(label, fn, reps=2):
+        best = float("inf")
+        r = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            jax.block_until_ready(r) if hasattr(r, "block_until_ready") \
+                else None
+            # force sync through a scalar fetch
+            try:
+                np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+                _ = float(np.asarray(
+                    jax.tree_util.tree_leaves(r)[0]).reshape(-1)[0])
+            except Exception:
+                pass
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label:28s} {best*1e3:8.1f} ms", flush=True)
+        return r
+
+    # stage 1: menu walk (host, native sample deflate)
+    t0 = time.perf_counter()
+    _ = tuple(sorted(default_menu(n, bpp=4, pitch=W * 4 + 1)
+                     + _extra_menu(data)))
+    print(f"{'menu build (host)':28s} {(time.perf_counter()-t0)*1e3:8.1f} ms",
+          flush=True)
+
+    cand = t("candidates_device", lambda: candidates_device(
+        data, menu, Tc, False))
+
+    def relayout():
+        d2 = jnp.transpose(jnp.asarray(buf.reshape(Tc, 128, NB)),
+                           (0, 2, 1)).astype(jnp.int32)
+        return d2
+
+    data2 = t("data relayout", relayout)
+    clen = np.zeros((Tc, 8, 128), np.int32)
+    for c in range(chunks):
+        clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
+    clenj = jnp.asarray(clen)
+
+    depths = Depths()
+    dep = _tables_from_depths(depths)
+    reps = [_rep128(x) for x in dep]
+
+    def dp():
+        return optimal_parse_device(data2, clenj, cand, *reps, k=KCAND,
+                                    interpret=False)
+
+    terms, valid, hist = t("DP kernel + hist", dp)
+
+    t0 = time.perf_counter()
+    freq = np.asarray(hist).astype(np.int64)
+    print(f"{'hist fetch':28s} {(time.perf_counter()-t0)*1e3:8.1f} ms",
+          flush=True)
+    t0 = time.perf_counter()
+    freq[256] += 1
+    lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
+    dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
+    print(f"{'host tree build':28s} {(time.perf_counter()-t0)*1e3:8.1f} ms",
+          flush=True)
+
+    from swift_png_tpu.ops.deflate import (_emit_tables, pack_terms,
+                                           pack_bits, atoms_to_bytes)
+
+    tables = _emit_tables(lit_l, dist_l)
+    terms_flat = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
+    valid_flat = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
+
+    def packt():
+        lanes, nbits = pack_terms(
+            jax.lax.bitcast_convert_type(terms_flat, jnp.uint32), *tables)
+        return lanes, nbits
+
+    lanes, nbits = t("pack_terms", packt)
+
+    def packb():
+        return pack_bits(lanes, nbits, valid_flat)
+
+    atoms, total = t("pack_bits", packb)
+
+    t0 = time.perf_counter()
+    body = atoms_to_bytes(np.asarray(atoms), int(total))
+    print(f"{'atoms fetch+to_bytes':28s} "
+          f"{(time.perf_counter()-t0)*1e3:8.1f} ms", flush=True)
+
+    from swift_png_tpu.utils.bits import BitWriter
+    from swift_png_tpu.ops.deflate import (_write_block_header_and_tables,
+                                           _append_bits)
+
+    t0 = time.perf_counter()
+    out = BitWriter()
+    _write_block_header_and_tables(out, lit_l, dist_l, True)
+    _append_bits(out, body, int(total))
+    out.pad_to_byte()
+    _ = bytes(out.drain())
+    print(f"{'host bit assembly':28s} {(time.perf_counter()-t0)*1e3:8.1f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
