@@ -100,6 +100,17 @@ def sampled_menu(data: bytes, n_extra: int = 8) -> list[int]:
 
 
 def _walk_distances(body: bytes, top: int) -> list[int]:
+    return _walk_stats(body, top)[0]
+
+
+def _walk_stats(body: bytes, top: int):
+    """Token walk of a sampled stream: (top distances, lit/dist freqs).
+
+    The frequencies warm-start the ``Depths`` cost model (the reference
+    seeds it with generic costs and doubles the refinement iterations to
+    compensate, ``…Matches.Depths.swift:28-45``; a sampled seed reaches
+    the same costs with the level's plain iteration count).
+    """
     from ..lz77.index import _BitWalker, _flat_lut
     from ..lz77 import constants as CC
 
@@ -107,7 +118,7 @@ def _walk_distances(body: bytes, top: int) -> list[int]:
     final = w.read(1)
     btype = w.read(2)
     if btype != 2:
-        return []
+        return [], None, None
     hlit = w.read(5) + 257
     hdist = w.read(5) + 1
     hclen = w.read(4) + 4
@@ -117,13 +128,13 @@ def _walk_distances(body: bytes, top: int) -> list[int]:
     try:
         mlut = _flat_lut(ml, 7)
     except Exception:
-        return []
+        return [], None, None
     lengths: list[int] = []
     while len(lengths) < hlit + hdist:
         e = int(mlut[w.peek(7)])
         ln, sym = e >> 16, e & 0xFFFF
         if ln == 0:
-            return []
+            return [], None, None
         w.pos += ln
         if sym < 16:
             lengths.append(sym)
@@ -143,8 +154,10 @@ def _walk_distances(body: bytes, top: int) -> list[int]:
         distlut = (_flat_lut(dl, 15) if np.count_nonzero(dl)
                    else np.zeros(2, np.int64))
     except Exception:
-        return []
+        return [], None, None
     hist: dict[int, int] = {}
+    lit_freq = np.zeros(286, np.int64)
+    dist_freq = np.zeros(30, np.int64)
     nbits = len(body) * 8
     while w.pos + 15 < nbits:
         e = int(litlut[w.peek(15)])
@@ -152,6 +165,8 @@ def _walk_distances(body: bytes, top: int) -> list[int]:
         if ln == 0:
             break
         w.pos += ln
+        if sym < 286:
+            lit_freq[sym] += 1
         if sym < 256:
             continue
         if sym == 256:
@@ -168,8 +183,10 @@ def _walk_distances(body: bytes, top: int) -> list[int]:
         w.pos += dln
         dist = int(CC.DISTANCE_BASE[dsym]) + w.read(
             int(CC.DISTANCE_EXTRA[dsym]))
+        dist_freq[dsym] += 1
         hist[dist] = hist.get(dist, 0) + 1
-    return [d for d, _ in sorted(hist.items(), key=lambda kv: -kv[1])[:top]]
+    tops = [d for d, _ in sorted(hist.items(), key=lambda kv: -kv[1])[:top]]
+    return tops, lit_freq, dist_freq
 
 
 @functools.partial(jax.jit, static_argnames=("menu", "k"))
@@ -356,20 +373,34 @@ def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
     return jnp.transpose(out, (1, 0, 3, 2)).reshape(2, Ntot)
 
 
+def stage_buf(data: bytes, Tc: int) -> jnp.ndarray:
+    """One host→device staging of the input, sized for both the
+    candidate kernel (``CR2·128`` granules) and the DP relayout
+    (``NB·128`` granules)."""
+    n = len(data)
+    Npad = Tc * 128 * NB
+    Ntot = -(-Npad // (CR2 * 128)) * (CR2 * 128)
+    buf = np.zeros(Ntot, np.uint8)
+    buf[:n] = np.frombuffer(data, np.uint8)
+    return jnp.asarray(buf)
+
+
 def candidates_device(data: bytes, menu: tuple, Tc: int,
-                      interpret: bool) -> jnp.ndarray:
+                      interpret: bool,
+                      dbuf: jnp.ndarray | None = None) -> jnp.ndarray:
     """Top-2 candidates relaid out for the DP kernel: ``(Tc, 2, NB, 128)``.
 
     Uses the Pallas kernel on TPU and the XLA formulation elsewhere
     (``interpret`` mirrors :func:`deflate_device_optimal`'s backend
-    selection; the two paths are differentially tested).
+    selection; the two paths are differentially tested).  Pass ``dbuf``
+    (:func:`stage_buf`) to reuse an already-staged device input.
     """
     n = len(data)
     Npad = Tc * 128 * NB
+    if dbuf is None:
+        dbuf = stage_buf(data, Tc)
     if interpret:
-        buf = np.zeros(Npad, np.uint8)
-        buf[:n] = np.frombuffer(data, np.uint8)
-        runs, dists = menu_candidates(jnp.asarray(buf), jnp.int32(n),
+        runs, dists = menu_candidates(dbuf[:Npad], jnp.int32(n),
                                       menu=menu, k=KCAND)
         cand = (dists << 9) | runs
         return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB),
@@ -379,12 +410,8 @@ def candidates_device(data: bytes, menu: tuple, Tc: int,
     cv = np.zeros(dmax, np.int32)
     dv[:len(menu)] = list(menu)
     cv[:len(menu)] = [int(C.DISTANCE_DECADE[d]) for d in menu]
-    Ntot = -(-Npad // (CR2 * 128)) * (CR2 * 128)
-    buf = np.zeros(Ntot, np.uint8)
-    buf[:n] = np.frombuffer(data, np.uint8)
     cand = menu_candidates_pallas(
-        jnp.asarray(dv), jnp.asarray(cv), jnp.asarray(buf),
-        jnp.int32(n), dmax=dmax)
+        jnp.asarray(dv), jnp.asarray(cv), dbuf, jnp.int32(n), dmax=dmax)
     cand = cand[:, :Npad]
     return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB), (1, 0, 3, 2))
 
@@ -603,6 +630,73 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
     return terms, valid, jnp.sum(hist, axis=(0, 2))[:320]
 
 
+def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
+                     bpp: int = 4, interpret: bool = False):
+    """Device part of the optimal-parse deflate: candidates → iterated DP
+    → packed bitstream atoms.  Returns ``(atoms, total_bits, lit_l,
+    dist_l, valid_flat)`` with ``atoms``/``total_bits`` still on device —
+    the bench times this (plus a scalar sync) as the per-chip encode
+    number; host assembly/IO happens in :func:`deflate_device_optimal`.
+
+    The ``Depths`` cost model is warm-started from the same native sample
+    pass that seeds the distance menu, replacing the generic-start
+    iteration doubling (the reference's ``Depths.init`` generic seed,
+    ``…Matches.Depths.swift:28-45``) with the level's plain iteration
+    count.
+    """
+    strategy, attempts, goal, iterations = search_parameters(level)
+    n = len(data)
+    menu = default_menu(n, bpp=bpp, pitch=pitch)
+    extra, lit_f, dist_f = _sample_stats(data)
+    menu += [d for d in extra if d not in menu]
+    menu = tuple(sorted(menu))
+
+    chunks = -(-n // NB)
+    Tc = -(-chunks // 128)
+    Npad = Tc * 128 * NB
+    # one host→device staging serves the candidate kernel and the DP
+    # relayout (the tunnel transfer dwarfs the on-device transposes)
+    dbuf = stage_buf(data, Tc)
+    cand = candidates_device(data, menu, Tc, interpret, dbuf=dbuf)
+    data2 = jnp.transpose(
+        dbuf[:Npad].reshape(Tc, 128, NB), (0, 2, 1)).astype(jnp.int32)
+    clen = np.zeros((Tc, 8, 128), np.int32)
+    for c in range(chunks):
+        clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
+
+    depths = Depths()
+    if lit_f is not None and int(lit_f.sum()) > 64:
+        lit_f = lit_f.copy()
+        lit_f[256] += 1
+        depths.update(lengths_from_frequencies(lit_f, 15, force=True),
+                      lengths_from_frequencies(dist_f, 15, force=False))
+    iters = max(1, iterations * (2 if depths.generic else 1))
+    terms = valid = lit_l = dist_l = None
+    for it in range(iters):
+        dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
+        terms, valid, hist = optimal_parse_device(
+            data2, jnp.asarray(clen), cand,
+            _rep128(dep_lit), _rep128(runcost), _rep128(ddep),
+            _rep128(rdinfo), _rep128(dbase), k=KCAND, interpret=interpret)
+        freq = np.asarray(hist).astype(np.int64)
+        freq[256] += 1
+        lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
+        dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
+        if it + 1 < iters:
+            depths.update(lit_l, dist_l)
+
+    # emit: single dynamic block, device bit packing
+    from .deflate import _emit_tables, pack_terms, pack_bits
+
+    terms_flat = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
+    valid_flat = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
+    tables = _emit_tables(lit_l, dist_l)
+    lanes, nbits = pack_terms(
+        jax.lax.bitcast_convert_type(terms_flat, jnp.uint32), *tables)
+    atoms, total = pack_bits(lanes, nbits, valid_flat)
+    return atoms, total, lit_l, dist_l, valid_flat
+
+
 def deflate_device_optimal(data: bytes, level: int = 9,
                            pitch: int = 0, bpp: int = 4,
                            interpret: bool | None = None,
@@ -621,15 +715,13 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     from ..lz77.checksums import adler32
     from ..lz77.deflate import _write_stored_block
     from ..utils.bits import BitWriter
-    from .deflate import (_emit_tables, _write_block_header_and_tables,
-                          _append_bits, pack_terms, pack_bits,
+    from .deflate import (_write_block_header_and_tables, _append_bits,
                           atoms_to_bytes)
     from ..lz77.huffman import canonical_codes
     from ..utils.bits import reverse_bits
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    strategy, attempts, goal, iterations = search_parameters(level)
     n = len(data)
     out = BitWriter()
     cmf = 0x78
@@ -640,46 +732,8 @@ def deflate_device_optimal(data: bytes, level: int = 9,
         out.pad_to_byte()
         return bytes(out.drain()) + adler32(data).to_bytes(4, "big")
 
-    menu = default_menu(n, bpp=bpp, pitch=pitch)
-    menu += [d for d in _extra_menu(data) if d not in menu]
-    menu = tuple(sorted(menu))
-
-    chunks = -(-n // NB)
-    Tc = -(-chunks // 128)
-    Npad = Tc * 128 * NB
-    buf = np.zeros(Npad, np.uint8)
-    buf[:n] = np.frombuffer(data, np.uint8)
-    # device-resident candidate search + relayout (Pallas on TPU)
-    cand = candidates_device(data, menu, Tc, interpret)
-    data2 = jnp.transpose(
-        jnp.asarray(buf.reshape(Tc, 128, NB)), (0, 2, 1)).astype(jnp.int32)
-    clen = np.zeros((Tc, 8, 128), np.int32)
-    for c in range(chunks):
-        clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
-
-    depths = Depths()
-    iters = max(1, iterations * (2 if depths.generic else 1))
-    terms = valid = None
-    for it in range(iters):
-        dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
-        terms, valid, hist = optimal_parse_device(
-            data2, jnp.asarray(clen), cand,
-            _rep128(dep_lit), _rep128(runcost), _rep128(ddep),
-            _rep128(rdinfo), _rep128(dbase), k=KCAND, interpret=interpret)
-        freq = np.asarray(hist).astype(np.int64)
-        freq[256] += 1
-        lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
-        dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
-        if it + 1 < iters:
-            depths.update(lit_l, dist_l)
-
-    # emit: single dynamic block, device bit packing
-    terms_flat = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
-    valid_flat = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
-    tables = _emit_tables(lit_l, dist_l)
-    lanes, nbits = pack_terms(
-        jax.lax.bitcast_convert_type(terms_flat, jnp.uint32), *tables)
-    atoms, total = pack_bits(lanes, nbits, valid_flat)
+    atoms, total, lit_l, dist_l, valid_flat = optimal_pipeline(
+        data, level=level, pitch=pitch, bpp=bpp, interpret=interpret)
     body = atoms_to_bytes(np.asarray(atoms), int(total))
     _write_block_header_and_tables(out, lit_l, dist_l, True)
     _append_bits(out, body, int(total))
@@ -694,17 +748,22 @@ def deflate_device_optimal(data: bytes, level: int = 9,
 
 
 def _extra_menu(data: bytes) -> list[int]:
+    return _sample_stats(data)[0]
+
+
+def _sample_stats(data: bytes):
+    """(extra menu distances, lit freq, dist freq) from a native sample."""
     try:
-        return _walk_distances_from_sample(data)
+        return _walk_stats_from_sample(data)
     except Exception:
-        return []
+        return [], None, None
 
 
-def _walk_distances_from_sample(data: bytes) -> list[int]:
+def _walk_stats_from_sample(data: bytes):
     from .. import native
 
     if not native.available() or len(data) < 4096:
-        return []
+        return [], None, None
     sample = data[: 1 << 16]
     body = native.deflate(sample, 4, "ios")
-    return _walk_distances(body, top=8)
+    return _walk_stats(body, top=8)

@@ -350,16 +350,41 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
     p = ptr_pad[jnp.clip(cidx, 0, N)]
 
+    # light path: a bounded single-step chase over the compacted set —
+    # literal-heavy content has 1-2-deep chains, so this is the whole
+    # resolution at expand_cap-sized gathers per round
     def e_cond(st):
-        _, changed = st
-        return changed
+        _, i, changed = st
+        return changed & (i < 6)
 
     def e_body(st):
-        p, _ = st
+        p, i, _ = st
         nxt = ptr_pad[jnp.clip(p, 0, N)]
-        return nxt, jnp.any(nxt != p)
+        return nxt, i + 1, jnp.any(nxt != p)
 
-    p, _ = jax.lax.while_loop(e_cond, e_body, (p, jnp.bool_(True)))
+    p, _, unresolved = jax.lax.while_loop(
+        e_cond, e_body, (p, jnp.int32(0), jnp.bool_(True)))
+
+    # heavy path: true pointer doubling over the flat array.  Deep chains
+    # (self-referential runs in smooth images) are thousands of steps —
+    # measured 2429 on a gradient test image — but only ~log2(depth)
+    # doubling rounds (12 there).  Matches always point strictly
+    # backward (dist >= 1), so the map is acyclic and converges.
+    def heavy(p_light):
+        def h_cond(st):
+            _, ch = st
+            return ch
+
+        def h_body(st):
+            pd, _ = st
+            nxt = pd[jnp.clip(pd, 0, N - 1)]
+            return nxt, jnp.any(nxt != pd)
+
+        pd, _ = jax.lax.while_loop(h_cond, h_body,
+                                   (ptr, jnp.bool_(True)))
+        return pd[jnp.clip(cidx, 0, N - 1)]
+
+    p = jax.lax.cond(unresolved, heavy, lambda _: p, p)
     out = litv
     src = out[jnp.clip(p, 0, N - 1)]
     # unused slots keep cidx == N: out of bounds ⇒ dropped (a clip-based
@@ -576,6 +601,7 @@ class CheckpointInflator:
         sub0 = np.zeros(U, np.int32)
         n_tokens = np.zeros(U, np.int32)
         skip = np.zeros(U, np.int32)
+        nskip = np.zeros(U, np.int32)   # next unit's skip (same stream)
         owned = np.zeros(U, np.int32)
         jump = np.zeros(U, np.int32)
         sgap = np.full(U, -1, np.int32)
@@ -598,6 +624,7 @@ class CheckpointInflator:
                 ix.bit_pos - (sb << 3).astype(np.uint64)).astype(np.int32)
             n_tokens[base: base + Ui] = ix.n_tokens
             skip[base: base + Ui] = ix.skip
+            nskip[base: base + Ui - 1] = ix.skip[1:]
             ow = np.minimum(ob, out_size - np.arange(Ui) * ob)
             st = ix.unit_kind == KIND_STORED
             # stored units skip the kernel entirely (owned 0 ⇒ inactive);
@@ -666,9 +693,18 @@ class CheckpointInflator:
             prep["symtab"] = jnp.asarray(np.ascontiguousarray(
                 cols_s.reshape(T, TUB // 128, 128, sr)
                 .transpose(0, 3, 1, 2)))
-            prep["kbound"] = jnp.asarray(
-                n_tokens.reshape(T, TUB).max(axis=1, keepdims=True)
-                .astype(np.int32))
+            kb = n_tokens.reshape(T, TUB).max(axis=1).astype(np.int32)
+            # tile mode 1: every live unit is all-literal — n_tokens ==
+            # owned with no skip on EITHER boundary forces 1-byte tokens
+            # only (a fully-contained match contributes >= 3 bytes; a
+            # tail-crossing match would leave skip > 0 on the next unit),
+            # plus no EOB jump and no stored fill; such tiles run the
+            # kernel's single-row-store fast loop
+            lit_ok = ((owned == 0)
+                      | ((n_tokens == owned) & (skip == 0) & (nskip == 0)
+                         & (jump == 0) & (sgap < 0)))
+            mode = lit_ok.reshape(T, TUB).all(axis=1).astype(np.int32)
+            prep["kbound"] = jnp.asarray(np.stack([kb, mode], axis=1))
             prep["stored_gap"] = jnp.asarray(sgap) if has_stored else None
         else:
             prep.update(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),

@@ -181,6 +181,52 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         else:
             dist_sym = tabs_ref[0, 64:72]    # (8, TUR, 128) packed dsyms
 
+        def lit_body(k, carry):
+            # all-literal units (host-proved: n_tokens == owned is only
+            # possible when every token is a 1-byte literal): the output
+            # cursor IS the step index, so the tail stamp collapses to a
+            # single dynamic-row store, there is no distance decode, and
+            # the ≤15-bit step needs only a two-word window (one refill
+            # pick instead of two)
+            bitrel, flag, w0, w1 = carry
+            active = k < owned
+            wq = bitrel >> 5
+            sub = (bitrel & 31).astype(jnp.uint32)
+            win = (w0 >> sub) | jnp.where(
+                sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
+            r15 = _rev15(win & 0x7FFF).astype(jnp.int32)
+            l = jnp.ones((TUR, 128), jnp.int32)
+            adj = lit_adj[0]
+            for t in range(1, 16):
+                ge = r15 >= lit_T[t - 1]
+                l = l + ge.astype(jnp.int32)
+                if t < 15:
+                    adj = adj + jnp.where(ge, lit_dadj[t - 1], 0)
+            lbad = l > 15
+            ls = jnp.minimum(l, 15)
+            code = r15 >> (15 - ls)
+            symidx = jnp.clip(code + adj, 0, 3 * nsym_rows - 1)
+            q3 = (symidx * 21846) >> 16
+            r3 = symidx - (q3 + (q3 << 1))
+            wsym = jnp.sum(
+                jnp.where(iota_sym == q3[None, :, :], symtab, 0), axis=0)
+            sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
+            bad = active & (lbad | (sym > 255))
+            aux = jnp.where(active, -(sym + 1), SENTINEL).astype(adt)
+            attr_ref[0, :, pl.ds(k, 1), :] = aux[:, None, :]
+            bitrel = bitrel + jnp.where(active & ~bad, ls, 0)
+            flag = flag | jnp.where(bad, 1, 0)
+            # refill: a literal consumes <= 15 bits, so the window slides
+            # by at most one word per step
+            new_wq = bitrel >> 5
+            d2 = iota_s - new_wq[:, None, :]
+            p1 = jax.lax.bitcast_convert_type(
+                jnp.sum(jnp.where(d2 == 1, spans, 0), axis=1), jnp.uint32)
+            sh = new_wq > wq
+            w0n = jnp.where(sh, w1, w0)
+            w1n = jnp.where(sh, p1, w1)
+            return bitrel, flag, w0n, w1n
+
         def body(k, carry):
             if multiblock:
                 bitrel, cur, flag, w0, w1, w2, sw = carry
@@ -353,20 +399,31 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         flag0 = jnp.zeros((TUR, 128), jnp.int32)
         kb = k_static if k_static is not None else kb_ref[pl.program_id(0),
                                                           0]
+        mode = kb_ref[pl.program_id(0), 1]
         # initial window: sub0 < 8 (prepare() aligns spans to the first
         # token's byte), so the register window starts at words 0..2
         w_init = tuple(
             jax.lax.bitcast_convert_type(spans[:, i, :], jnp.uint32)
             for i in range(3))
-        init = (bitrel0, cur0, flag0) + w_init
-        if multiblock:
-            init = init + (jnp.zeros((TUR, 128), jnp.int32),)
-        fin = jax.lax.fori_loop(0, kb, body, init, unroll=unroll)
-        bitrel, cur, flag = fin[:3]
-        # coverage: every owned byte must be stamped (the last unit of a
-        # stream owns < ob bytes; padding units own 0)
-        flag = flag | jnp.where(cur < owned, 2, 0)
-        flag_ref[...] = flag
+
+        @pl.when(mode == 1)
+        def _lit_tile():
+            # every live unit in this tile is all-literal: cursor == step
+            fin = jax.lax.fori_loop(0, kb, lit_body,
+                                    (bitrel0, flag0) + w_init[:2],
+                                    unroll=unroll)
+            flag_ref[...] = fin[1]
+
+        @pl.when(mode != 1)
+        def _gen_tile():
+            init = (bitrel0, cur0, flag0) + w_init
+            if multiblock:
+                init = init + (jnp.zeros((TUR, 128), jnp.int32),)
+            fin = jax.lax.fori_loop(0, kb, body, init, unroll=unroll)
+            bitrel, cur, flag = fin[:3]
+            # coverage: every owned byte must be stamped (the last unit
+            # of a stream owns < ob bytes; padding units own 0)
+            flag_ref[...] = flag | jnp.where(cur < owned, 2, 0)
 
         # Adler-32 literal partials (per unit, sublane reductions):
         #   s1 = Σ d[b],  s2 = Σ (ob - b)·d[b]   over owned literal bytes
@@ -392,8 +449,10 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
     """Run the lockstep decode+stamp kernel over all unit tiles.
 
     Args:
-      kbound: ``(T, 1)`` int32 — per-tile step bound (max tokens of any
-        unit in the tile; 0 for pure-padding tiles).
+      kbound: ``(T, 2)`` int32 — per tile: [0] the step bound (max tokens
+        of any unit in the tile; 0 for pure-padding tiles), [1] the tile
+        mode (1 = every live unit is all-literal → the single-row-store
+        fast loop; 0 = general stamp loop).
       spans: ``(T, TUR, S, 128)`` uint32 — per-unit span words,
         transposed so units ride lanes: word ``s`` of unit
         ``t·1024 + g·128 + l`` sits at ``[t, g, s, l]``.
