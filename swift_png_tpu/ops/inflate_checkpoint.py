@@ -351,11 +351,12 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     p = ptr_pad[jnp.clip(cidx, 0, N)]
 
     # light path: a bounded single-step chase over the compacted set —
-    # literal-heavy content has 1-2-deep chains, so this is the whole
-    # resolution at expand_cap-sized gathers per round
+    # literal-heavy content has chains a handful deep (measured 1-6 on
+    # filtered photographic data), resolved at expand_cap-sized gathers
+    # per round
     def e_cond(st):
         _, i, changed = st
-        return changed & (i < 6)
+        return changed & (i < 12)
 
     def e_body(st):
         p, i, _ = st
@@ -365,24 +366,30 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     p, _, unresolved = jax.lax.while_loop(
         e_cond, e_body, (p, jnp.int32(0), jnp.bool_(True)))
 
-    # heavy path: true pointer doubling over the flat array.  Deep chains
-    # (self-referential runs in smooth images) are thousands of steps —
-    # measured 2429 on a gradient test image — but only ~log2(depth)
-    # doubling rounds (12 there).  Matches always point strictly
-    # backward (dist >= 1), so the map is acyclic and converges.
+    # heavy path: true pointer doubling over the compacted slot graph.
+    # Deep chains (self-referential runs in smooth images) are thousands
+    # of single steps — measured 2429 on a gradient test image — but only
+    # ~log2(depth) doubling rounds.  Every match byte is a compacted slot
+    # (overflow retries at a bigger cap), so a target is either a slot
+    # (chase continues there) or a literal (encoded resolved, < 0).
+    # Matches point strictly backward (dist >= 1) ⇒ acyclic ⇒ converges.
     def heavy(p_light):
+        inv = jnp.full(N + 1, -1, jnp.int32).at[jnp.clip(cidx, 0, N)].set(
+            jnp.arange(expand_cap, dtype=jnp.int32), mode="drop")
+        ti = inv[jnp.clip(p_light, 0, N)]
+        c = jnp.where(ti >= 0, ti, -p_light - 1)
+
         def h_cond(st):
             _, ch = st
             return ch
 
         def h_body(st):
-            pd, _ = st
-            nxt = pd[jnp.clip(pd, 0, N - 1)]
-            return nxt, jnp.any(nxt != pd)
+            c, _ = st
+            nxt = jnp.where(c >= 0, c[jnp.clip(c, 0, expand_cap - 1)], c)
+            return nxt, jnp.any(nxt != c)
 
-        pd, _ = jax.lax.while_loop(h_cond, h_body,
-                                   (ptr, jnp.bool_(True)))
-        return pd[jnp.clip(cidx, 0, N - 1)]
+        c, _ = jax.lax.while_loop(h_cond, h_body, (c, jnp.bool_(True)))
+        return -c - 1
 
     p = jax.lax.cond(unresolved, heavy, lambda _: p, p)
     out = litv
