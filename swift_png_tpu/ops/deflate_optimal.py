@@ -298,7 +298,8 @@ def _make_cand_kernel(dmax: int):
             dcost = dmeta_ref[j, 1]
             e = eq_ref[0, j].astype(jnp.int32)         # (CW, 128)
             rr = jnp.concatenate([e, z], axis=0)
-            # suffix run by log-doubling; all shifts are row slices, and
+            # suffix run by log-doubling (int32 — Mosaic rejects i16
+            # compares on this target); all shifts are row slices, and
             # the 256 zero slack rows absorb the out-of-range reads (the
             # core rows' 511-position dependency cone stays inside CW)
             for lv in range(9):
@@ -522,9 +523,11 @@ def _make_dp_kernel(k: int):
         terms_ref[...] = jnp.zeros((1, NB, 128), jnp.int32)
         valid_ref[...] = jnp.zeros((1, NB, 128), jnp.int32)
         # per-tile symbol histogram (term frequencies for the tree build)
-        # accumulated in-kernel: one-hot adds instead of device scatters
+        # accumulated in-kernel: one-hot adds instead of device scatters,
+        # split by domain (lit/run symbols < 288, distance decades ride
+        # rows 288…320) so each step scans 320 rows, not 2×384
         hist_ref[...] = jnp.zeros((1, 384, 128), jnp.int32)
-        iota384 = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 0)
+        iota288 = jax.lax.broadcasted_iota(jnp.int32, (288, 128), 0)
 
         def bwd(s, nxt):
             i = NB + 1 - s                      # NB … 1
@@ -552,10 +555,11 @@ def _make_dp_kernel(k: int):
                 on, 1, valid_ref[0, pl.ds(i - 1, 1)])
             s1 = jnp.where(is_lit, byte, 257 + rd)       # (1, 128)
             s1 = jnp.where(on, s1, -1)
-            s2 = jnp.where(on & ~is_lit, 288 + dd, -1)
-            hist_ref[0] = (hist_ref[0]
-                           + (iota384 == s1).astype(jnp.int32)
-                           + (iota384 == s2).astype(jnp.int32))
+            s2 = jnp.where(on & ~is_lit, dd, -1)
+            hist_ref[0, :288] = (hist_ref[0, :288]
+                                 + (iota288 == s1).astype(jnp.int32))
+            hist_ref[0, 288:320] = (hist_ref[0, 288:320]
+                                    + (iota32 == s2).astype(jnp.int32))
             return jnp.where(on, i - ln, nxt)
 
         jax.lax.fori_loop(1, NB + 1, bwd, clen + 0)
