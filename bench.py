@@ -172,6 +172,48 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- worst-case content: smooth gradients (match-heavy, deep
+    # back-reference chains through the expansion's doubling path) -------
+    smooth_gbps = None
+    try:
+        Bs = 8
+        y, x = np.mgrid[0:H, 0:W]
+        sdatas, sbodies, sixs = [], [], []
+        for i in range(Bs):
+            pix = np.stack([(x // 8 + y // 8 + i) % 256, x // 4 % 256,
+                            y // 4 % 256, np.full_like(x, 255)],
+                           axis=-1).astype(np.uint8)
+            d = _filtered(pix).tobytes()
+            sdatas.append(d)
+            s = compress(d)
+            sbodies.append(s[2:-4])
+            sixs.append(build_index(s[2:-4], out_size, OB))
+        sprep = eng.prepare(sbodies, sixs)
+        scap = eng._pow2(sum(ix.match_bytes for ix in sixs) + 64, 1 << 10)
+
+        def sinflate():
+            return inflate_indexed_pallas(
+                sprep["kbound"], sprep["spans3"], sprep["meta"],
+                sprep["tabs"], sprep["symtab"], ob=OB, n_streams=Bs,
+                out_size=out_size, expand_cap=scap, S=sprep["S"],
+                interpret=not on_tpu)
+
+        sout, sflag, sadler, _ = sinflate()
+        assert int(np.asarray(sflag).max()) == 0
+        import zlib as _zs
+
+        for i in range(Bs):
+            assert int(np.asarray(sadler)[i]) == _zs.adler32(sdatas[i])
+        ts = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _o, _f, sadler, _v = sinflate()
+            _ = float(np.asarray(sadler)[0])
+            ts = min(ts, time.perf_counter() - t0)
+        smooth_gbps = round(Bs * out_size / ts / 1e9, 4)
+    except Exception:
+        pass
+
     nbytes = B * out_size
     gbps = nbytes / best / 1e9
     result = {
@@ -185,6 +227,8 @@ def main() -> None:
         "compressed_ratio": round(
             sum(len(b) for b in bodies) / nbytes, 3),
     }
+    if smooth_gbps is not None:
+        result["decode_smooth_gbps"] = smooth_gbps
     if size9 is not None and t9 < float("inf"):
         result["deflate_l9_mbps"] = round(len(enc_data) / t9 / 1e6, 2)
         if native.available():

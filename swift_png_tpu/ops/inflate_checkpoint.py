@@ -353,7 +353,9 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     # light path: a bounded single-step chase over the compacted set —
     # literal-heavy content has chains a handful deep (measured 1-6 on
     # filtered photographic data), resolved at expand_cap-sized gathers
-    # per round
+    # per round.  Skipped statically when the compacted set is at least
+    # half the output (match-dominated content has deep chains; the
+    # light rounds would be pure waste before the doubling path).
     def e_cond(st):
         _, i, changed = st
         return changed & (i < 12)
@@ -363,8 +365,11 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
         nxt = ptr_pad[jnp.clip(p, 0, N)]
         return nxt, i + 1, jnp.any(nxt != p)
 
-    p, _, unresolved = jax.lax.while_loop(
-        e_cond, e_body, (p, jnp.int32(0), jnp.bool_(True)))
+    if expand_cap < (N >> 1):
+        p, _, unresolved = jax.lax.while_loop(
+            e_cond, e_body, (p, jnp.int32(0), jnp.bool_(True)))
+    else:
+        unresolved = jnp.bool_(True)
 
     # heavy path: true pointer doubling over the compacted slot graph.
     # Deep chains (self-referential runs in smooth images) are thousands
