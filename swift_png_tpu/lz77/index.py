@@ -389,6 +389,12 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
             db0 = w.pos >> 3
             if (db0 + ln) * 8 > nbits:
                 raise DecompressionError.invalid_huffman_table()
+            if ln == 0 and stored_open:
+                # an empty stored block (a flush marker) inside an open
+                # stored chain widens the copy-source gap past the single
+                # 5-byte header the device fill skips — outside the v2
+                # structural limits, fall back to the general engines
+                return None
             if ln > 0:
                 if pending_unit >= 0:
                     return None  # unit mixes tokens and a stored copy

@@ -647,6 +647,10 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             if ((len ^ 0xFFFF) != nlen) return SPT_E_PARITY;
             uint64_t db0 = br.byte_cursor();
             if ((db0 + len) > n) return SPT_E_TABLE;
+            // an empty stored block (flush marker) inside an open stored
+            // chain widens the copy-source gap past the single 5-byte
+            // header the device fill skips — outside the v2 limits
+            if (len == 0 && stored_open) return 0;
             if (len > 0) {
                 if (pending_unit >= 0) return 0;  // token/stored mix
                 if (o + len > out_size) return 0;

@@ -310,9 +310,11 @@ class Image:
         return dest.getvalue()
 
     def compress_path(self, path: str, level: int = 9, hint: int = 1 << 15,
-                      engine: str = "auto") -> None:
+                      engine: str = "auto", index: bool = False,
+                      index_ob: int = 256) -> None:
         with open(path, "wb") as f:
-            f.write(self.compress_bytes(level, hint, engine))
+            f.write(self.compress_bytes(level, hint, engine, index=index,
+                                        index_ob=index_ob))
 
     # -- pixel access ---------------------------------------------------------
 

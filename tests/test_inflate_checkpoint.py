@@ -304,3 +304,31 @@ def test_deep_chain_expansion_resolves():
     outp = engp.inflate_zlib_batch([stream], len(data),
                                    keep_on_device=False)
     assert bytes(outp[0]) == data
+
+
+def test_flush_marker_in_stored_chain_falls_back():
+    """A Z_FULL_FLUSH between stored blocks (incompressible data) widens
+    the inter-block gap to two 5-byte headers; the index must reject the
+    stream (outside the v2 single-gap limit) so callers fall back to the
+    general engines — which must decode it bit-exact."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+    co = zlib.compressobj(6)
+    stream = b"".join([co.compress(base[:20_000]),
+                       co.flush(zlib.Z_FULL_FLUSH),
+                       co.compress(base[20_000:]), co.flush()])
+    body = stream[2:-4]
+    assert build_index(body, len(base), 256) is None
+    from swift_png_tpu import native
+
+    if native.available():
+        assert native.build_index(body, len(base), 256) is None
+    eng = CheckpointInflator(ob=256, backend="pallas")
+    assert eng.inflate_zlib_batch([stream], len(base),
+                                  keep_on_device=False) is None
+    # the fallback engines handle it
+    from swift_png_tpu.lz77.inflate import Inflator
+
+    inf = Inflator()
+    inf.push(stream)
+    assert bytes(inf.pull()) == base
