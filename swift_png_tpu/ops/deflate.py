@@ -179,6 +179,45 @@ def term_frequencies(terms: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return freq
 
 
+def _stream_bits(terms: np.ndarray, valid: np.ndarray,
+                 lit_lengths: np.ndarray, dist_lengths: np.ndarray) -> int:
+    """Exact dynamic-block bit count for a term sequence (host).
+
+    Token bits follow from the frequency tables alone (code length per
+    symbol plus the decade's extra bits); the header cost reruns the same
+    metaterm serialization the writer uses.
+    """
+    from ..lz77.deflate import _META_EXTRA, _metaterms
+
+    freq = term_frequencies(terms, valid)
+    ll = np.asarray(lit_lengths, np.int64)
+    dl = np.asarray(dist_lengths, np.int64)
+    bits = int(np.sum(freq[:286] * ll[:286]))
+    bits += int(np.sum(freq[257:286] * np.asarray(C.RUN_EXTRA[:29])))
+    dfreq = freq[288:318]
+    bits += int(np.sum(dfreq[:dl.size] * dl))
+    bits += int(np.sum(dfreq * np.asarray(C.DISTANCE_EXTRA[:30])))
+    # header: HLIT/HDIST/HCLEN fields + code-length code + metaterms
+    r = max(257, int(np.max(np.nonzero(ll)[0], initial=0)) + 1)
+    used_d = np.nonzero(dl)[0]
+    d = max(1, int(used_d.max()) + 1 if used_d.size else 1)
+    sequence = [int(ll[s]) for s in range(r)] + [
+        int(dl[s]) if s < dl.size else 0 for s in range(d)]
+    meta = _metaterms(sequence)
+    meta_freq = np.zeros(19, np.int64)
+    for sym, _ in meta:
+        meta_freq[sym] += 1
+    meta_lengths = lengths_from_frequencies(meta_freq, 7, force=False)
+    order_lengths = [int(meta_lengths[sym]) for sym in C.CODELENGTH_ORDER]
+    hclen = 19
+    while hclen > 4 and order_lengths[hclen - 1] == 0:
+        hclen -= 1
+    bits += 3 + 5 + 5 + 4 + 3 * hclen
+    for sym, _ in meta:
+        bits += int(meta_lengths[sym]) + _META_EXTRA.get(sym, 0)
+    return bits
+
+
 def _load32(db: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     i = jnp.clip(idx, 0, db.shape[0] - 4)
     return db[i] | db[i + 1] << 8 | db[i + 2] << 16 | db[i + 3] << 24
@@ -192,21 +231,13 @@ def _eq_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return b0 + b1 + b2
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "t_cap", "max_chunks", "lazy"))
-def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
-                  t_cap: int, max_chunks: int = 31, lazy: bool = False):
-    """Greedy/lazy device match search over one buffer.
+def _match_search(data: jnp.ndarray, n: jnp.ndarray, k: int,
+                  max_chunks: int):
+    """Best (run, dist) per position from sorted-neighbor candidates.
 
-    Returns ``(terms (t_cap,), valid (t_cap,), count)`` — packed encode
-    terms (match threshold run ≥ 6, mirroring ``DeflatorWindow.match``'s
-    emit policy, ``…Window.swift:128-141``).  With ``lazy``, a position
-    whose successor has a longer match emits literal+deferred-match like
-    the reference's lazy strategy — every position's best match is already
-    computed, so the lazy decision is a pure per-position function and the
-    parse still extracts with rank pointer-jumping (a path node may carry
-    two terms).  ``max_chunks`` caps the vectorized LCP at
-    ``4 + 4·max_chunks`` bytes.
+    Device analog of the F14 hash table + chain walk: a position's nearest
+    chain predecessors are its neighbors in the (4-byte key, position)
+    sorted order; the LCP is a chunked 4-byte compare.
     """
     N = data.shape[0]
     d32 = data.astype(jnp.uint32)
@@ -249,12 +280,44 @@ def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
     best_run = jnp.where(best_comb >= 0, best_comb >> 16, 0)
     best_dist = jnp.where(best_comb >= 0,
                           32768 - (best_comb & 0xFFFF), 0)
+    return best_run, best_dist
 
-    take = (best_run >= 6) & (pos + best_run <= n)
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "t_cap", "max_chunks", "lazy",
+                                    "min_run", "short_far"))
+def greedy_tokens(data: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
+                  t_cap: int, max_chunks: int = 31, lazy: bool = False,
+                  min_run: int = 6, short_far: int = 0):
+    """Greedy/lazy device match search over one buffer.
+
+    Returns ``(terms (t_cap,), valid (t_cap,), count)`` — packed encode
+    terms (match threshold run ≥ 6, mirroring ``DeflatorWindow.match``'s
+    emit policy, ``…Window.swift:128-141``).  With ``lazy``, a position
+    whose successor has a longer match emits literal+deferred-match like
+    the reference's lazy strategy — every position's best match is already
+    computed, so the lazy decision is a pure per-position function and the
+    parse still extracts with rank pointer-jumping (a path node may carry
+    two terms).  ``max_chunks`` caps the vectorized LCP at
+    ``4 + 4·max_chunks`` bytes.  ``min_run``/``short_far`` relax the
+    accept threshold to runs ≥ ``min_run`` at distances < ``short_far``
+    (the native engine's short-cheap policy; callers race both policies
+    and keep the smaller stream).
+    """
+    N = data.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    best_run, best_dist = _match_search(data, n, k, max_chunks)
+
+    accept = best_run >= 6
+    if short_far > 0:
+        accept = accept | ((best_run >= min_run)
+                           & (best_dist < short_far))
+    take = accept & (pos + best_run <= n)
     if lazy:
         run_n = jnp.concatenate([best_run[1:], jnp.zeros(1, jnp.int32)])
         dist_n = jnp.concatenate([best_dist[1:], jnp.zeros(1, jnp.int32)])
-        pair = (take & (run_n > best_run)
+        accept_n = jnp.concatenate([accept[1:], jnp.zeros(1, bool)])
+        pair = (take & accept_n & (run_n > best_run)
                 & (pos + 1 + run_n <= n) & (pos + 1 < n))
         step = jnp.where(pair, 1 + run_n, jnp.where(take, best_run, 1))
     else:
@@ -334,6 +397,10 @@ def deflate_device(data: bytes, level: int = 3) -> bytes:
 
         return deflate_device_optimal(data, level=level)
     lazy = level >= 4  # level → strategy, matching DeflatorSearch tiers
+    # sorted-neighbor candidate count scales with the level's search
+    # budget (the device analog of DeflatorSearch attempts — more
+    # neighbors in (key, pos) order = deeper chain walks)
+    k = 4 if level <= 2 else (8 if level <= 5 else 16)
     n = len(data)
     out = BitWriter()
     cmf = 0x78
@@ -345,14 +412,26 @@ def deflate_device(data: bytes, level: int = 3) -> bytes:
         N = 1 << max(12, (n - 1).bit_length())
         buf = np.zeros(N, np.uint8)
         buf[:n] = np.frombuffer(data, np.uint8)
-        terms_d, valid_d, _ = greedy_tokens(
-            jnp.asarray(buf), jnp.int32(n), t_cap=N, lazy=lazy)
-        terms = np.asarray(terms_d)
-        valid = np.asarray(valid_d)
-        freq = term_frequencies(terms, valid)
-        lit_lengths = lengths_from_frequencies(freq[:286], 15, force=True)
-        dist_lengths = lengths_from_frequencies(freq[288:318], 15,
-                                                force=False)
+        # race the reference accept policy (run >= 6) against the native
+        # engine's short-cheap policy (run >= 4 at dist < 1024) and keep
+        # the smaller stream — the match search itself is shared inside
+        # one jitted call via common subexpressions, and the exact token
+        # cost is computable host-side from the (tiny) frequency tables
+        buf_d = jnp.asarray(buf)
+        candidates = []
+        for mr, sf in ((6, 0), (4, 1024)):
+            terms_d, valid_d, _ = greedy_tokens(
+                buf_d, jnp.int32(n), t_cap=N, lazy=lazy, k=k,
+                min_run=mr, short_far=sf)
+            terms = np.asarray(terms_d)
+            valid = np.asarray(valid_d)
+            freq = term_frequencies(terms, valid)
+            ll = lengths_from_frequencies(freq[:286], 15, force=True)
+            dl = lengths_from_frequencies(freq[288:318], 15, force=False)
+            candidates.append((_stream_bits(terms, valid, ll, dl),
+                               terms_d, valid_d, freq, ll, dl))
+        _, terms_d, valid_d, freq, lit_lengths, dist_lengths = min(
+            candidates, key=lambda c: c[0])
         tables = _emit_tables(lit_lengths, dist_lengths)
         lanes, nbits = pack_terms(terms_d, *tables)
         atoms, total = pack_bits(lanes, nbits, valid_d)
