@@ -150,10 +150,11 @@ def decode_tokens(spans, sub0, n_tokens, lit_T, lit_first, lit_offset,
 
 
 @functools.partial(jax.jit, static_argnames=("ob", "n_streams", "out_size",
-                                             "expand_cap", "k_max"))
+                                             "expand_cap", "k_max",
+                                             "collapse"))
 def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
                     *, ob: int, n_streams: int, out_size: int,
-                    expand_cap: int, k_max: int):
+                    expand_cap: int, k_max: int, collapse: bool = False):
     """Full indexed inflate for ``n_streams`` same-size streams.
 
     Returns ``(out (B, out_size) uint8, flags (U,) int32, adler (B,)
@@ -221,7 +222,8 @@ def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
         jnp.any((ptr.reshape(U, ob) < (j - j % Opad)) & valid, axis=1),
         F_BAD, 0)
     flag = flag | jnp.where(jnp.any(live & ~covered, axis=1), F_BAD, 0)
-    return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap)
+    return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap,
+                   collapse=collapse)
 
 
 def _cumsum_mxu(x):
@@ -294,7 +296,64 @@ def _adler_batch(out, out_size):
     return (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
 
 
-def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
+def _collapse_ptr(ptr):
+    """Dense (gather-free) pointer collapse: same-distance runs + RLE.
+
+    ``ptr[j] = j - d`` realizes the byte-by-byte forward copy of the
+    reference's ``InflatorOut.expand`` (``…InflatorOut.swift:124-139``):
+    a self-overlapping match (``run > dist``) chains ``ceil(run/d)``
+    single steps deep — thousands on smooth-content images.  Two closed
+    forms remove every *within-run* step before any gather happens:
+
+    * a maximal contiguous region ``[s, e)`` where every byte copies
+      from ``j - d`` (same ``d ≥ 2``) is equivalent to one virtual match
+      token, so ``out[j] = out[s - d + (j - s) mod d]`` — the source is
+      strictly before ``s`` (adjacent same-``d`` tokens merge safely:
+      the copy semantics depend only on per-byte ``(j, d)``);
+    * ``d == 1`` regions (RLE) all equal the value of the nearest
+      non-RLE byte to the left — arbitrary-depth chains collapse to one
+      hop to ``lastn1[j]``, the running max of non-RLE positions.
+
+    After this rewrite, chain depth is bounded by the number of *tokens*
+    in a dependency chain, not bytes, and d==1 bytes can be value-filled
+    densely (no gathers at all) once everything else has resolved.
+
+    Returns ``(ptr' (N,) int32, m1 (N,) bool)``.
+    """
+    N = ptr.shape[0]
+    j = jnp.arange(N, dtype=jnp.int32)
+    d = j - ptr                      # 0 = literal / dead
+    is_m = d > 0
+    m1 = d == 1
+    lastn1 = jax.lax.cummax(jnp.where(m1, -1, j))
+    dm = jnp.where(is_m & ~m1, d, 0)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dm[:-1]])
+    start = (dm > 0) & (dm != prev)
+    s = jax.lax.cummax(jnp.where(start, j, -1))
+    o = j - s
+    src2 = jnp.where(o < d, ptr, s - d + o % jnp.maximum(d, 1))
+    ptr2 = jnp.where(m1, jnp.maximum(lastn1, 0),
+                     jnp.where(is_m, src2, j))
+    return ptr2, m1
+
+
+def _fill_rle(out, m1, B, Opad):
+    """Dense value fill of d==1 (RLE) bytes: each equals the nearest
+    resolved byte to its left.  One packed ``(pos << 8) | value`` cummax
+    per stream row — zero gathers (``Opad < 2^24`` so the key fits
+    uint32; callers guarantee it by disabling collapse otherwise)."""
+    o2 = out.reshape(B, Opad)
+    m1r = m1.reshape(B, Opad)
+    jl = jnp.arange(Opad, dtype=jnp.uint32)[None, :]
+    key = jnp.where(m1r, jnp.uint32(0),
+                    (jl << 8) | o2.astype(jnp.uint32))
+    filled = jax.lax.cummax(key, axis=1)
+    return jnp.where(m1r, (filled & 255).astype(jnp.uint8),
+                     o2).reshape(-1)
+
+
+def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
+            collapse_shape=None):
     """Compacted pointer-doubling expansion of LZ77 back-references.
 
     Compaction is two-level (measured: a flat N-sized scatter cost ~31 ms
@@ -308,11 +367,24 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     src (expand_cap,) uint8)`` — ``cidx`` holds the flat positions of the
     match bytes (sentinel ``N`` in unused slots) and ``src`` their
     resolved values (the Adler combine needs both).
+
+    ``collapse_shape``: static ``(B, Opad)`` enables the dense pointer
+    collapse (:func:`_collapse_ptr`) — within-run chains resolve in
+    closed form and d==1 (RLE) bytes are value-filled with zero gathers,
+    shrinking both the compacted set and the doubling depth on
+    match-heavy content.  In that mode ``cidx``/``src`` cover only the
+    d≥2 match bytes, so callers must checksum from the output bytes
+    (:func:`_adler_batch`), not from kernel literal partials.
     """
     from ..lz77.index import MATCH_SEG as SEG
 
     N = ptr.shape[0]
-    is_m = (ptr != jnp.arange(N, dtype=jnp.int32))
+    if collapse_shape is not None:
+        Bc, Opadc = collapse_shape
+        ptr, m1 = _collapse_ptr(ptr)
+        is_m = (ptr != jnp.arange(N, dtype=jnp.int32)) & ~m1
+    else:
+        is_m = (ptr != jnp.arange(N, dtype=jnp.int32))
     Np = -(-N // SEG) * SEG
     nseg = Np // SEG
     if seg_cap is None:
@@ -379,6 +451,13 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     # (chase continues there) or a literal (encoded resolved, < 0).
     # Matches point strictly backward (dist >= 1) ⇒ acyclic ⇒ converges.
     def heavy(p_light):
+        if collapse_shape is not None:
+            # an RLE byte is not a compacted slot: hop through its (dense)
+            # collapsed pointer first — the hop target is non-RLE by
+            # construction (a literal or a d>=2 slot)
+            pc = jnp.clip(p_light, 0, N)
+            m1_pad = jnp.concatenate([m1, jnp.zeros(1, bool)])
+            p_light = jnp.where(m1_pad[pc], ptr_pad[pc], p_light)
         inv = jnp.full(N + 1, -1, jnp.int32).at[jnp.clip(cidx, 0, N)].set(
             jnp.arange(expand_cap, dtype=jnp.int32), mode="drop")
         ti = inv[jnp.clip(p_light, 0, N)]
@@ -403,14 +482,19 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None):
     # write would collide with a real write to byte N-1 and the scatter's
     # duplicate-index order is unspecified)
     out = out.at[cidx].set(src, mode="drop")
+    if collapse_shape is not None:
+        # fill only the live stream rows; global tail padding stays as-is
+        head = _fill_rle(out[:Bc * Opadc], m1[:Bc * Opadc], Bc, Opadc)
+        out = jnp.concatenate([head, out[Bc * Opadc:]])
     ovf = (jnp.sum(is_m) > expand_cap) | seg_ovf
     return out, ovf, cidx, jnp.where(cidx < N, src, 0)
 
 
 def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap,
-            seg_cap: int | None = None):
+            seg_cap: int | None = None, collapse: bool = False):
     """Shared tail: compacted pointer-doubling expansion + Adler-32."""
-    out, ovf, _, _ = _expand(ptr, litv, expand_cap, seg_cap)
+    out, ovf, _, _ = _expand(ptr, litv, expand_cap, seg_cap,
+                             collapse_shape=(B, Opad) if collapse else None)
     out2 = out.reshape(B, Opad)
     adler = _adler_batch(out2, out_size)
     return out2[:, :out_size], flag, adler, ovf
@@ -475,7 +559,7 @@ def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
                                              "expand_cap", "S",
                                              "interpret", "attr16",
                                              "seg_cap", "multiblock",
-                                             "has_stored"))
+                                             "has_stored", "collapse"))
 def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            ob: int, n_streams: int, out_size: int,
                            expand_cap: int, S: int,
@@ -483,7 +567,7 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            seg_cap: int | None = None,
                            multiblock: bool = False,
                            has_stored: bool = False,
-                           stored_gap=None):
+                           stored_gap=None, collapse: bool = False):
     """Indexed inflate with the Pallas decode+stamp kernel.
 
     Same contract as :func:`inflate_indexed`; the token decode,
@@ -552,12 +636,20 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     # because they own 0 bytes; mask anyway for the global tail)
     flag = jnp.where(u[:, 0] < U_live, flag, 0)
 
-    out, ovf, cidx, src = _expand(ptr, litv, expand_cap, seg_cap)
-    s1u = s1k.reshape(U_pad)[:U_live].reshape(B, Ui)
-    s2u = s2k.reshape(U_pad)[:U_live].reshape(B, Ui)
-    adler = _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad,
-                                 out_size)
+    out, ovf, cidx, src = _expand(
+        ptr, litv, expand_cap, seg_cap,
+        collapse_shape=(B, Opad) if collapse else None)
     out2 = out[:U_live * ob].reshape(B, Opad)
+    if collapse:
+        # cidx/src cover only d>=2 bytes here (RLE bytes were value-
+        # filled densely), so checksum from the final bytes instead of
+        # the kernel's literal partials
+        adler = _adler_batch(out2, out_size)
+    else:
+        s1u = s1k.reshape(U_pad)[:U_live].reshape(B, Ui)
+        s2u = s2k.reshape(U_pad)[:U_live].reshape(B, Ui)
+        adler = _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad,
+                                     out_size)
     return out2[:, :out_size], flag, adler, ovf
 
 
@@ -727,7 +819,7 @@ class CheckpointInflator:
         return prep
 
     def run(self, bodies: list[bytes], indexes: list[CheckpointIndex],
-            keep_on_device: bool = True):
+            keep_on_device: bool = True, collapse: bool | None = None):
         from ..lz77.errors import DecompressionError
 
         prep = self.prepare(bodies, indexes)
@@ -735,6 +827,13 @@ class CheckpointInflator:
         # the index knows the exact match-byte and match-segment
         # populations, so the expansion buffers are sized tightly
         match_total = sum(int(ix.match_bytes) for ix in indexes)
+        if collapse is None:
+            # match-heavy content (smooth/RLE-ish images) goes through
+            # the dense pointer collapse + RLE value fill; literal-heavy
+            # content keeps the cheaper literal-partial checksum path.
+            # The RLE fill key packs (pos << 8 | byte) in uint32.
+            collapse = (match_total * 2 > prep["B"] * prep["out_size"]
+                        and prep["Ui_pad"] * prep["ob"] < (1 << 24))
         expand_cap = min(self._pow2(match_total + 64, 1 << 10),
                          self._pow2(cap_max))
         if all(ix.match_segs >= 0 for ix in indexes):
@@ -755,13 +854,14 @@ class CheckpointInflator:
                     multiblock=prep["multiblock"],
                     has_stored=prep["has_stored"],
                     stored_gap=prep["stored_gap"]
-                    if prep["has_stored"] else None)
+                    if prep["has_stored"] else None, collapse=collapse)
             else:
                 out, flag, adler, ovf = inflate_indexed(
                     prep["spans"], prep["sub0"], prep["n_tokens"],
                     prep["skip"], prep["lit"], prep["dist"], ob=prep["ob"],
                     n_streams=prep["B"], out_size=prep["out_size"],
-                    expand_cap=expand_cap, k_max=prep["k_max"])
+                    expand_cap=expand_cap, k_max=prep["k_max"],
+                    collapse=collapse)
             if bool(ovf):
                 if expand_cap >= cap_max:
                     raise DecompressionError.invalid_huffman_table()

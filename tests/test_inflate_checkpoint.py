@@ -332,3 +332,38 @@ def test_flush_marker_in_stored_chain_falls_back():
     inf = Inflator()
     inf.push(stream)
     assert bytes(inf.pull()) == base
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("name,data", payloads())
+def test_collapse_expansion_bit_exact(backend, name, data):
+    """The dense pointer collapse (same-d run closed form + RLE value
+    fill) must stay bit-exact against the plain doubling path on every
+    content shape, both engine backends."""
+    stream = one_block_zlib(data)
+    body = stream[2:-4]
+    ix = build_index(body, len(data), 256)
+    eng = CheckpointInflator(ob=256, backend=backend)
+    for collapse in (False, True):
+        out, adler = eng.run([body, body], [ix, ix],
+                             keep_on_device=False, collapse=collapse)
+        assert bytes(out[0]) == data, (name, collapse)
+        assert bytes(out[1]) == data, (name, collapse)
+        assert int(adler[0]) == zlib.adler32(data), (name, collapse)
+
+
+def test_collapse_auto_policy_matches():
+    """run(collapse=None) picks the mode from the index's match-byte
+    stats; both choices must agree with the host inflator."""
+    rng = np.random.default_rng(3)
+    heavy = (b"x" * 30_000 + bytes(rng.integers(0, 3, 30_000,
+                                                dtype=np.uint8)) * 2)
+    light = rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+    for data in (heavy, light):
+        stream = one_block_zlib(data)
+        body = stream[2:-4]
+        ix = build_index(body, len(data), 256)
+        eng = CheckpointInflator(ob=256, backend="xla")
+        out, adler = eng.run([body], [ix], keep_on_device=False)
+        assert bytes(out[0]) == data
+        assert int(adler[0]) == zlib.adler32(data)
