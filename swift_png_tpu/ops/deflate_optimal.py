@@ -279,9 +279,14 @@ def _make_cand_kernel(dmax: int):
     ``[l·CR2, (l+1)·CR2)`` consecutively along sublanes plus a 512-row
     halo duplicating the next chunk's head, so every shift in the
     doubling recurrence is a static row slice — zero rolls, zero
-    gathers.  The shifted-equality inputs are built on the XLA side
-    (dense shifts are what XLA is good at) with **dynamic** distances,
-    so one compiled kernel serves every menu.
+    gathers.  The inputs are built on the XLA side (dense shifts are
+    what XLA is good at) with **dynamic** distances, so one compiled
+    kernel serves every menu; XLA also runs the first three doubling
+    levels (``r₃ = min(run, 8)``, uint8) because their row shifts of
+    1/2/4 are sublane-MISALIGNED in this layout — Mosaic lowers those
+    to cross-sublane moves at roll-like cost, while every remaining
+    step (8…256) is a multiple of the sublane count and stays a cheap
+    aligned slice.
     """
     import jax.experimental.pallas as pl  # noqa: F401
 
@@ -296,13 +301,15 @@ def _make_cand_kernel(dmax: int):
         for j in range(dmax):
             dist = dmeta_ref[j, 0]
             dcost = dmeta_ref[j, 1]
-            e = eq_ref[0, j].astype(jnp.int32)         # (CW, 128)
+            e = eq_ref[0, j].astype(jnp.int32)  # (CW, 128) r3=min(run,8)
             rr = jnp.concatenate([e, z], axis=0)
             # suffix run by log-doubling (int32 — Mosaic rejects i16
-            # compares on this target); all shifts are row slices, and
-            # the 256 zero slack rows absorb the out-of-range reads (the
-            # core rows' 511-position dependency cone stays inside CW)
-            for lv in range(9):
+            # compares on this target) starting from the XLA-computed
+            # r3: every step is a multiple-of-8 (sublane-aligned) row
+            # slice, and the 256 zero slack rows absorb the
+            # out-of-range reads (the core rows' 504-position
+            # dependency cone stays inside CW)
+            for lv in range(3, 9):
                 step = 1 << lv
                 core = rr[:CW] + jnp.where(rr[:CW] == step,
                                            rr[step:step + CW], 0)
@@ -351,6 +358,14 @@ def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
         sh = jax.lax.dynamic_slice(padded, ((1 << 15) - d,), (Ntot,))
         eqs.append(((data == sh) & live & (pos >= d)).astype(jnp.int8))
     eq = jnp.stack(eqs)                                # (dmax, Ntot)
+    # first three doubling levels here (dense uint8 shifts, ~71 GB/s):
+    # their 1/2/4-row slices would be sublane-misaligned in the kernel's
+    # chunk-per-lane layout, which Mosaic lowers at roll-like cost
+    for lv in range(3):
+        step = 1 << lv
+        nxt = jnp.concatenate(
+            [eq[:, step:], jnp.zeros((dmax, step), jnp.int8)], axis=1)
+        eq = eq + jnp.where(eq == step, nxt, 0)        # r3 = min(run, 8)
     base = eq.reshape(dmax, T, 128, CR2)
     halo = jnp.concatenate(
         [eq[:, CR2:], jnp.zeros((dmax, CR2), jnp.int8)],
