@@ -44,7 +44,7 @@ from .errors import DecompressionError
 __all__ = ["CheckpointIndex", "build_index", "INDEX_VERSION", "MATCH_SEG",
            "FIXED_LIT_LENGTHS", "FIXED_DIST_LENGTHS"]
 
-INDEX_VERSION = 2
+INDEX_VERSION = 3
 MATCH_SEG = 64   # output bytes per match-segment (expansion compaction)
 
 KIND_HUFFMAN = 0
@@ -93,6 +93,10 @@ class CheckpointIndex:
                                # only: local byte offset where a 5-byte
                                # stored-block header interrupts the copy
                                # source (GAP_NONE ⇒ contiguous)
+    pair_steps: np.ndarray | None = None  # (U,) uint32 — lockstep steps
+                               # when the kernel absorbs an adjacent
+                               # literal pair per step (v3; None ⇒
+                               # unknown — callers bound by n_tokens)
 
     def __post_init__(self):
         self.lit_lengths = np.atleast_2d(np.asarray(self.lit_lengths,
@@ -173,11 +177,14 @@ class CheckpointIndex:
             out += bytes([int(self.unit_kind[u])])
             out += int(self.eob_jump[u]).to_bytes(4, "big")
             out += int(self.gap_off[u]).to_bytes(2, "big")
+            ps = (int(self.pair_steps[u]) if self.pair_steps is not None
+                  else int(self.n_tokens[u]))
+            out += ps.to_bytes(2, "big")
         return bytes(out)
 
     @classmethod
     def parse(cls, data: bytes) -> "CheckpointIndex":
-        if not data or data[0] not in (1, 2):
+        if not data or data[0] not in (1, 2, 3):
             raise ValueError("unsupported checkpoint index version")
         ver = data[0]
         ob = int.from_bytes(data[1:5], "big")
@@ -197,7 +204,7 @@ class CheckpointIndex:
             o += 288
             dist[b] = np.frombuffer(data[o:o + 32], np.uint8)
             o += 32
-        rs = 8 if ver == 1 else 17
+        rs = {1: 8, 2: 17, 3: 19}[ver]
         rec = np.frombuffer(data[o:o + rs * U], np.uint8).reshape(U, rs)
         deltas = (rec[:, 0].astype(np.uint64) << 24 |
                   rec[:, 1].astype(np.uint64) << 16 |
@@ -205,8 +212,8 @@ class CheckpointIndex:
         bit_pos = np.cumsum(deltas).astype(np.uint64)
         skip = (rec[:, 4].astype(np.uint32) << 8) | rec[:, 5]
         n_tokens = (rec[:, 6].astype(np.uint32) << 8) | rec[:, 7]
-        ub = uk = ej = gp = None
-        if ver == 2:
+        ub = uk = ej = gp = ps = None
+        if ver >= 2:
             ub = ((rec[:, 8].astype(np.int32) << 8) | rec[:, 9]).astype(
                 np.int32)
             uk = rec[:, 10].copy()
@@ -215,10 +222,12 @@ class CheckpointIndex:
                   rec[:, 13].astype(np.uint32) << 8 | rec[:, 14])
             gp = ((rec[:, 15].astype(np.uint16) << 8)
                   | rec[:, 16]).astype(np.uint16)
+        if ver >= 3:
+            ps = ((rec[:, 17].astype(np.uint32) << 8) | rec[:, 18])
         return cls(ob=ob, out_size=out_size, bit_pos=bit_pos, skip=skip,
                    n_tokens=n_tokens, lit_lengths=lit, dist_lengths=dist,
                    end_bit=end_bit, unit_block=ub, unit_kind=uk,
-                   eob_jump=ej, gap_off=gp)
+                   eob_jump=ej, gap_off=gp, pair_steps=ps)
 
 
 class _BitWalker:
@@ -311,7 +320,7 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
                 # keep the host taxonomy for malformed streams
                 raise DecompressionError.invalid_huffman_table()
             if r is not None:
-                (bit_pos, skip, n_tokens, ub, uk, ej, gp, lit, dist,
+                (bit_pos, skip, n_tokens, ub, uk, ej, gp, ps, lit, dist,
                  end_bit, mb, ms) = r
                 if uk.any() and not lit.any():
                     # all-stored stream: dummy fixed table column
@@ -323,7 +332,8 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
                     n_tokens=n_tokens.astype(np.uint32),
                     lit_lengths=lit, dist_lengths=dist, end_bit=end_bit,
                     match_bytes=mb, match_segs=ms, unit_block=ub,
-                    unit_kind=uk, eob_jump=ej, gap_off=gp)
+                    unit_kind=uk, eob_jump=ej, gap_off=gp,
+                    pair_steps=ps.astype(np.uint32))
             return None  # outside the fast path (host walker agrees)
     except ImportError:
         pass
@@ -348,12 +358,17 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
     unit_kind = np.zeros(U, np.uint8)
     eob_jump = np.zeros(U, np.uint32)
     gap_off = np.full(U, GAP_NONE, np.uint16)
+    pair_steps = np.zeros(U, np.uint32)
     blocks: list[tuple[np.ndarray, np.ndarray]] = []
 
     o = 0
     unit = 0
     unit_end = ob
     toks = 0
+    # lockstep steps when the kernel absorbs (literal, literal) pairs:
+    # a step consumes token t, plus token t+1 iff both are literals
+    psteps = 0
+    pend_lit = False
     unit_open = False
     match_bytes = 0
     match_segs = 0
@@ -475,6 +490,8 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
             if sym == 256:
                 if unit_open and not final:
                     toks += 1  # boundary EOB: zero-output token
+                    psteps += 1
+                    pend_lit = False
                     pending_unit = unit
                 pos += ln2
                 pending_end = pos
@@ -486,6 +503,8 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                     unit_block[unit] = bid
                     unit_open = True
                     toks = 0
+                    psteps = 0
+                    pend_lit = False
                 tpos, tlen = pos, 1
                 pos += ln2
             elif sym > 285:
@@ -497,6 +516,8 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                     unit_block[unit] = bid
                     unit_open = True
                     toks = 0
+                    psteps = 0
+                    pend_lit = False
                 dec = sym - 257
                 eb = int(run_extra[dec])
                 run = int(run_base[dec]) + ((window >> ln2) & (
@@ -522,26 +543,37 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
             if eob:
                 break
             toks += 1
+            if sym < 256 and pend_lit:
+                pend_lit = False          # absorbed into the open pair
+            else:
+                psteps += 1
+                pend_lit = sym < 256
             o += tlen
             # token crossed into (or completed) unit(s)
             while o >= unit_end and unit + 1 < U:
                 n_tokens[unit] = toks
+                pair_steps[unit] = psteps
                 unit += 1
                 if o > unit_end:
+                    # a crossing token is always a match (tlen > 1)
                     bit_pos[unit] = tpos
                     skip[unit] = tlen - (o - unit_end)
                     unit_block[unit] = bid
                     unit_open = True
                     toks = 1
+                    psteps = 1
                 else:
                     unit_open = False
                     toks = 0
+                    psteps = 0
+                pend_lit = False
                 unit_end += ob
         w.pos = pos
         if final:
             break
     if unit_open or toks:
         n_tokens[unit] = toks
+        pair_steps[unit] = psteps
     if o != out_size:
         return None  # declared size mismatch → let the general engine err
     if int(n_tokens.max()) > 0xFFFF or int(skip.max()) > 0xFFFF:
@@ -559,4 +591,4 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
         n_tokens=n_tokens, lit_lengths=lit, dist_lengths=dist,
         end_bit=w.pos, match_bytes=match_bytes, match_segs=match_segs,
         unit_block=unit_block, unit_kind=unit_kind, eob_jump=eob_jump,
-        gap_off=gap_off)
+        gap_off=gap_off, pair_steps=pair_steps)

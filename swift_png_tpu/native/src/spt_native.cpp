@@ -611,7 +611,8 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                           uint64_t* bit_pos, uint32_t* skip,
                           uint32_t* n_tokens, uint32_t* unit_block,
                           uint8_t* unit_kind, uint32_t* eob_jump,
-                          uint32_t* gap_off, uint8_t* lit_lengths,
+                          uint32_t* gap_off, uint32_t* pair_steps,
+                          uint8_t* lit_lengths,
                           uint8_t* dist_lengths, uint64_t* info) {
     if (!out_size || n < 4 || ob < 64) return 0;
     const uint32_t GAP_NONE = 0xFFFF;
@@ -621,11 +622,15 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
     for (uint64_t u = 0; u < U; u++) {
         bit_pos[u] = 0; skip[u] = 0; n_tokens[u] = 0;
         unit_block[u] = 0; unit_kind[u] = 0; eob_jump[u] = 0;
-        gap_off[u] = GAP_NONE;
+        gap_off[u] = GAP_NONE; pair_steps[u] = 0;
     }
     uint64_t o = 0, unit = 0, unit_end = ob, toks = 0, match_bytes = 0;
     uint64_t match_segs = 0;
     long long last_seg = -1;
+    // lockstep steps when the device kernel absorbs (literal, literal)
+    // pairs: a step consumes token t, plus token t+1 iff both literals
+    uint64_t psteps = 0;
+    bool pend_lit = false;
     bool unit_open = false, stored_open = false;
     long long pending_unit = -1;
     uint64_t pending_end = 0;
@@ -722,6 +727,8 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             if (sym == 256) {
                 if (unit_open && !final_) {
                     toks++;  // boundary EOB: zero-output token
+                    psteps++;
+                    pend_lit = false;
                     pending_unit = (long long)unit;
                 }
                 pending_end = br.pos * 8 - br.bits;
@@ -733,6 +740,8 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                     unit_block[unit] = bid;
                     unit_open = true;
                     toks = 0;
+                    psteps = 0;
+                    pend_lit = false;
                 }
                 tlen = 1;
             } else if (sym > 285) {
@@ -744,6 +753,8 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                     unit_block[unit] = bid;
                     unit_open = true;
                     toks = 0;
+                    psteps = 0;
+                    pend_lit = false;
                 }
                 int dec = sym - 257;
                 uint32_t run = RUN_BASE[dec] + br.read(RUN_EXTRA[dec]);
@@ -763,28 +774,42 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             }
             if (eob) break;
             toks++;
+            if (sym < 256 && pend_lit) {
+                pend_lit = false;         // absorbed into the open pair
+            } else {
+                psteps++;
+                pend_lit = sym < 256;
+            }
             o += tlen;
             if (o > out_size) return SPT_E_OUTPUT;
             while (o >= unit_end && unit + 1 < U) {
                 n_tokens[unit] = (uint32_t)toks;
+                pair_steps[unit] = (uint32_t)psteps;
                 unit++;
                 if (o > unit_end) {
+                    // a crossing token is always a match (tlen > 1)
                     bit_pos[unit] = tbit;
                     skip[unit] = (uint32_t)(tlen - (o - unit_end));
                     unit_block[unit] = bid;
                     unit_open = true;
                     toks = 1;
+                    psteps = 1;
                 } else {
                     unit_open = false;
                     toks = 0;
+                    psteps = 0;
                 }
+                pend_lit = false;
                 unit_end += ob;
             }
         }
         if (final_) break;
     }
     (void)final_blk;
-    if (unit_open || toks) n_tokens[unit] = (uint32_t)toks;
+    if (unit_open || toks) {
+        n_tokens[unit] = (uint32_t)toks;
+        pair_steps[unit] = (uint32_t)psteps;
+    }
     if (o != out_size) return 0;
     info[0] = br.pos * 8 - br.bits;  // end bit
     info[1] = match_bytes;

@@ -704,6 +704,7 @@ class CheckpointInflator:
         spans = np.zeros((U, S * 4), np.uint8)
         sub0 = np.zeros(U, np.int32)
         n_tokens = np.zeros(U, np.int32)
+        psteps = np.zeros(U, np.int32)  # paired-step bounds (v3 indexes)
         skip = np.zeros(U, np.int32)
         nskip = np.zeros(U, np.int32)   # next unit's skip (same stream)
         owned = np.zeros(U, np.int32)
@@ -727,6 +728,8 @@ class CheckpointInflator:
             sub0[base: base + Ui] = (
                 ix.bit_pos - (sb << 3).astype(np.uint64)).astype(np.int32)
             n_tokens[base: base + Ui] = ix.n_tokens
+            psteps[base: base + Ui] = (
+                ix.pair_steps if ix.pair_steps is not None else ix.n_tokens)
             skip[base: base + Ui] = ix.skip
             nskip[base: base + Ui - 1] = ix.skip[1:]
             ow = np.minimum(ob, out_size - np.arange(Ui) * ob)
@@ -798,16 +801,26 @@ class CheckpointInflator:
                 cols_s.reshape(T, TUB // 128, 128, sr)
                 .transpose(0, 3, 1, 2)))
             kb = n_tokens.reshape(T, TUB).max(axis=1).astype(np.int32)
+            pb = psteps.reshape(T, TUB).max(axis=1).astype(np.int32)
             # tile mode 1: every live unit is all-literal — n_tokens ==
             # owned with no skip on EITHER boundary forces 1-byte tokens
             # only (a fully-contained match contributes >= 3 bytes; a
             # tail-crossing match would leave skip > 0 on the next unit),
             # plus no EOB jump and no stored fill; such tiles run the
-            # kernel's single-row-store fast loop
+            # kernel's row-store fast loop (two literals per step)
             lit_ok = ((owned == 0)
                       | ((n_tokens == owned) & (skip == 0) & (nskip == 0)
                          & (jump == 0) & (sgap < 0)))
-            mode = lit_ok.reshape(T, TUB).all(axis=1).astype(np.int32)
+            lit_mode = lit_ok.reshape(T, TUB).all(axis=1)
+            # tile mode 2: mixed tiles whose paired-step bound is
+            # meaningfully below the token bound run the pairing loop
+            # (the speculative second decode costs ~15% per step, so it
+            # must buy back at least that many steps)
+            pair_mode = ~lit_mode & (pb * 8 <= kb * 7)
+            mode = np.where(lit_mode, 1,
+                            np.where(pair_mode, 2, 0)).astype(np.int32)
+            kb = np.where(lit_mode, -(-kb // 2),
+                          np.where(pair_mode, pb, kb)).astype(np.int32)
             prep["kbound"] = jnp.asarray(np.stack([kb, mode], axis=1))
             prep["stored_gap"] = jnp.asarray(sgap) if has_stored else None
         else:

@@ -181,43 +181,74 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         else:
             dist_sym = tabs_ref[0, 64:72]    # (8, TUR, 128) packed dsyms
 
-        def lit_body(k, carry):
-            # all-literal units (host-proved: n_tokens == owned is only
-            # possible when every token is a 1-byte literal): the output
-            # cursor IS the step index, so the tail stamp collapses to a
-            # single dynamic-row store, there is no distance decode, and
-            # the ≤15-bit step needs only a two-word window (one refill
-            # pick instead of two)
-            bitrel, flag, w0, w1 = carry
-            active = k < owned
-            wq = bitrel >> 5
-            sub = (bitrel & 31).astype(jnp.uint32)
-            win = (w0 >> sub) | jnp.where(
-                sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
-            r15 = _rev15(win & 0x7FFF).astype(jnp.int32)
+        def _lit_decode(win32, swb=None):
+            """Canonical literal decode from a 32-bit window: returns
+            ``(ls, sym, lbad)``.  Shared by every loop's token decode;
+            ``swb`` (multiblock only) selects each unit's second table
+            column after its boundary EOB."""
+            r15 = _rev15(win32 & 0x7FFF).astype(jnp.int32)
             l = jnp.ones((TUR, 128), jnp.int32)
-            adj = lit_adj[0]
+            if swb is None:
+                adj = lit_adj[0]
+            else:
+                adj = jnp.where(swb, lit_adj2[0], lit_adj[0])
             for t in range(1, 16):
-                ge = r15 >= lit_T[t - 1]
+                if swb is None:
+                    thr = lit_T[t - 1]
+                else:
+                    thr = jnp.where(swb, lit_T2[t - 1], lit_T[t - 1])
+                ge = r15 >= thr
                 l = l + ge.astype(jnp.int32)
                 if t < 15:
-                    adj = adj + jnp.where(ge, lit_dadj[t - 1], 0)
+                    if swb is None:
+                        d_adj = lit_dadj[t - 1]
+                    else:
+                        d_adj = jnp.where(swb, lit_dadj2[t - 1],
+                                          lit_dadj[t - 1])
+                    adj = adj + jnp.where(ge, d_adj, 0)
             lbad = l > 15
             ls = jnp.minimum(l, 15)
             code = r15 >> (15 - ls)
             symidx = jnp.clip(code + adj, 0, 3 * nsym_rows - 1)
             q3 = (symidx * 21846) >> 16
             r3 = symidx - (q3 + (q3 << 1))
+            if swb is not None:
+                q3 = q3 + jnp.where(swb, nsym_rows, 0)
             wsym = jnp.sum(
                 jnp.where(iota_sym == q3[None, :, :], symtab, 0), axis=0)
             sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
-            bad = active & (lbad | (sym > 255))
-            aux = jnp.where(active, -(sym + 1), SENTINEL).astype(adt)
-            attr_ref[0, :, pl.ds(k, 1), :] = aux[:, None, :]
-            bitrel = bitrel + jnp.where(active & ~bad, ls, 0)
-            flag = flag | jnp.where(bad, 1, 0)
-            # refill: a literal consumes <= 15 bits, so the window slides
-            # by at most one word per step
+            return ls, sym, lbad
+
+        def lit_body(k, carry):
+            # all-literal units (host-proved: n_tokens == owned is only
+            # possible when every token is a 1-byte literal): the output
+            # cursor IS the step index, so the tail stamp collapses to a
+            # dynamic-row store, and there is no distance decode.  Each
+            # step decodes TWO literals — they consume <= 30 bits, which
+            # both fit the same 32-bit window and still slide the
+            # two-word register window by at most one word (one refill
+            # pick per pair instead of one per token).
+            bitrel, flag, w0, w1 = carry
+            a1 = 2 * k < owned
+            a2 = 2 * k + 1 < owned
+            wq = bitrel >> 5
+            sub = (bitrel & 31).astype(jnp.uint32)
+            win = (w0 >> sub) | jnp.where(
+                sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
+            ls1, sym1, lbad1 = _lit_decode(win)
+            ls2, sym2, lbad2 = _lit_decode(win >> ls1.astype(jnp.uint32))
+            bad1 = a1 & (lbad1 | (sym1 > 255))
+            bad2 = a2 & ~bad1 & (lbad2 | (sym2 > 255))
+            aux1 = jnp.where(a1, -(sym1 + 1), SENTINEL).astype(adt)
+            aux2 = jnp.where(a2 & ~bad1, -(sym2 + 1), SENTINEL).astype(adt)
+            attr_ref[0, :, pl.ds(2 * k, 2), :] = jnp.concatenate(
+                [aux1[:, None, :], aux2[:, None, :]], axis=1)
+            bitrel = bitrel + jnp.where(
+                a1 & ~bad1,
+                ls1 + jnp.where(a2 & ~bad2, ls2, 0), 0)
+            flag = flag | jnp.where(bad1 | bad2, 1, 0)
+            # refill: two literals consume <= 30 bits, so the window
+            # slides by at most one word per step
             new_wq = bitrel >> 5
             d2 = iota_s - new_wq[:, None, :]
             p1 = jax.lax.bitcast_convert_type(
@@ -227,171 +258,176 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             w1n = jnp.where(sh, p1, w1)
             return bitrel, flag, w0n, w1n
 
-        def body(k, carry):
-            if multiblock:
-                bitrel, cur, flag, w0, w1, w2, sw = carry
-                swb = sw > 0
-            else:
-                bitrel, cur, flag, w0, w1, w2 = carry
-            active = cur < owned
-            # w0..w2 ride the loop carry (registers): the invariant is
-            # w_i = span word (bitrel >> 5) + i — the whole <=48-bit token
-            # lives in these three words because lit code + run extra
-            # consume <= 20 bits (sub <= 31 => the distance window starts
-            # in word widx or widx+1).  Refill at the step's end needs
-            # only TWO one-hot picks (the old three-per-step picks were
-            # the kernel's dominant VMEM term).
-            wq = bitrel >> 5
-            sub = (bitrel & 31).astype(jnp.uint32)
-            win = (w0 >> sub) | jnp.where(
-                sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
-
-            # literal/run decode: closed-form canonical compare with the
-            # adjust folded into the same loop (ge_t == "t < l"), then the
-            # packed symbol row (symidx = 3q + r → row q, 10-bit field r)
-            r15 = _rev15(win & 0x7FFF).astype(jnp.int32)
-            l = jnp.ones((TUR, 128), jnp.int32)
-            if multiblock:
-                adj = jnp.where(swb, lit_adj2[0], lit_adj[0])
-            else:
-                adj = lit_adj[0]
-            for t in range(1, 16):
+        def make_body(pair):
+            def body(k, carry):
                 if multiblock:
-                    thr = jnp.where(swb, lit_T2[t - 1], lit_T[t - 1])
+                    bitrel, cur, flag, w0, w1, w2, sw = carry
+                    swb = sw > 0
                 else:
-                    thr = lit_T[t - 1]
-                ge = r15 >= thr
-                l = l + ge.astype(jnp.int32)
-                if t < 15:
-                    if multiblock:
-                        d_adj = jnp.where(swb, lit_dadj2[t - 1],
-                                          lit_dadj[t - 1])
-                    else:
-                        d_adj = lit_dadj[t - 1]
-                    adj = adj + jnp.where(ge, d_adj, 0)
-            lbad = l > 15
-            ls = jnp.minimum(l, 15)
-            code = r15 >> (15 - ls)
-            symidx = jnp.clip(code + adj, 0, 3 * nsym_rows - 1)
-            q3 = (symidx * 21846) >> 16
-            r3 = symidx - (q3 + (q3 << 1))
-            if multiblock:
-                q3 = q3 + jnp.where(swb, nsym_rows, 0)
-            wsym = jnp.sum(
-                jnp.where(iota_sym == q3[None, :, :], symtab, 0), axis=0)
-            sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
-            dec = jnp.clip(sym - 257, 0, 28)
-            # RFC 1951 run decade closed form (no table)
-            e_run = jnp.where((dec < 4) | (dec == 28), 0, (dec >> 2) - 1)
-            rbase = jnp.where(
-                dec < 4, dec + 3,
-                jnp.where(dec == 28, 258, ((4 + (dec & 3)) << e_run) + 3))
-            run = rbase + ((win >> ls.astype(jnp.uint32)).astype(jnp.int32)
-                           & ((1 << e_run) - 1))
-            is_lit = ~lbad & (sym < 256)
-            is_eob = ~lbad & (sym == 256)
-            is_runtok = ~lbad & (sym >= 257) & (sym <= 285)
+                    bitrel, cur, flag, w0, w1, w2 = carry
+                    swb = None
+                active = cur < owned
+                # w0..w2 ride the loop carry (registers): the invariant
+                # is w_i = span word (bitrel >> 5) + i — the whole
+                # <=48-bit token lives in these three words because lit
+                # code + run extra consume <= 20 bits (sub <= 31 => the
+                # distance window starts in word widx or widx+1).
+                # Refill at the step's end needs only TWO one-hot picks
+                # (the old three-per-step picks were the kernel's
+                # dominant VMEM term).
+                wq = bitrel >> 5
+                sub = (bitrel & 31).astype(jnp.uint32)
+                win = (w0 >> sub) | jnp.where(
+                    sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
 
-            # distance decode from the window at bit2 (garbage for
-            # literals — masked off below)
-            bit2 = bitrel + ls + e_run
-            hi_word = (bit2 >> 5) > wq
-            wa = jnp.where(hi_word, w1, w0)
-            wb = jnp.where(hi_word, w2, w1)
-            sub2 = (bit2 & 31).astype(jnp.uint32)
-            win2 = (wa >> sub2) | jnp.where(
-                sub2 == 0, jnp.uint32(0), wb << ((32 - sub2) & 31))
-            r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
-            dl = jnp.ones((TUR, 128), jnp.int32)
-            if multiblock:
-                dadj = jnp.where(swb, dist_adj2[0], dist_adj[0])
-            else:
-                dadj = dist_adj[0]
-            for t in range(1, 16):
+                # literal/run decode: closed-form canonical compare with
+                # the adjust folded into the same loop (ge_t == "t < l"),
+                # then the packed symbol row (symidx = 3q + r → row q,
+                # 10-bit field r)
+                ls, sym, lbad = _lit_decode(win, swb)
+                dec = jnp.clip(sym - 257, 0, 28)
+                # RFC 1951 run decade closed form (no table)
+                e_run = jnp.where((dec < 4) | (dec == 28), 0,
+                                  (dec >> 2) - 1)
+                rbase = jnp.where(
+                    dec < 4, dec + 3,
+                    jnp.where(dec == 28, 258,
+                              ((4 + (dec & 3)) << e_run) + 3))
+                run = rbase + ((win >> ls.astype(jnp.uint32))
+                               .astype(jnp.int32) & ((1 << e_run) - 1))
+                is_lit = ~lbad & (sym < 256)
+                is_eob = ~lbad & (sym == 256)
+                is_runtok = ~lbad & (sym >= 257) & (sym <= 285)
+
+                # distance decode from the window at bit2 (garbage for
+                # literals — masked off below)
+                bit2 = bitrel + ls + e_run
+                hi_word = (bit2 >> 5) > wq
+                wa = jnp.where(hi_word, w1, w0)
+                wb = jnp.where(hi_word, w2, w1)
+                sub2 = (bit2 & 31).astype(jnp.uint32)
+                win2 = (wa >> sub2) | jnp.where(
+                    sub2 == 0, jnp.uint32(0), wb << ((32 - sub2) & 31))
+                r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
+                dl = jnp.ones((TUR, 128), jnp.int32)
                 if multiblock:
-                    thr = jnp.where(swb, dist_T2[t - 1], dist_T[t - 1])
+                    dadj = jnp.where(swb, dist_adj2[0], dist_adj[0])
                 else:
-                    thr = dist_T[t - 1]
-                ge = r15d >= thr
-                dl = dl + ge.astype(jnp.int32)
-                if t < 15:
+                    dadj = dist_adj[0]
+                for t in range(1, 16):
                     if multiblock:
-                        d_adj = jnp.where(swb, dist_dadj2[t - 1],
-                                          dist_dadj[t - 1])
+                        thr = jnp.where(swb, dist_T2[t - 1], dist_T[t - 1])
                     else:
-                        d_adj = dist_dadj[t - 1]
-                    dadj = dadj + jnp.where(ge, d_adj, 0)
-            dbad = dl > 15
-            dls = jnp.minimum(dl, 15)
-            dcode = r15d >> (15 - dls)
-            didx = jnp.clip(dcode + dadj, 0, 31)
-            drow = didx >> 2
-            if multiblock:
-                drow = drow + jnp.where(swb, 8, 0)
-            wd = jnp.sum(
-                jnp.where(iota_ds == drow[None, :, :], dist_sym, 0),
-                axis=0)
-            dsym = (wd >> ((didx & 3) << 3)) & 255
-            ds = jnp.minimum(dsym, 29)
-            e_d = jnp.where(ds < 4, 0, (ds >> 1) - 1)
-            dbase = jnp.where(ds < 4, ds + 1, ((2 + (ds & 1)) << e_d) + 1)
-            dist = dbase + (
-                (win2 >> dls.astype(jnp.uint32)).astype(jnp.int32)
-                & ((1 << e_d) - 1))
-            is_match = is_runtok & ~dbad & (dsym <= 29)
+                        thr = dist_T[t - 1]
+                    ge = r15d >= thr
+                    dl = dl + ge.astype(jnp.int32)
+                    if t < 15:
+                        if multiblock:
+                            d_adj = jnp.where(swb, dist_dadj2[t - 1],
+                                              dist_dadj[t - 1])
+                        else:
+                            d_adj = dist_dadj[t - 1]
+                        dadj = dadj + jnp.where(ge, d_adj, 0)
+                dbad = dl > 15
+                dls = jnp.minimum(dl, 15)
+                dcode = r15d >> (15 - dls)
+                didx = jnp.clip(dcode + dadj, 0, 31)
+                drow = didx >> 2
+                if multiblock:
+                    drow = drow + jnp.where(swb, 8, 0)
+                wd = jnp.sum(
+                    jnp.where(iota_ds == drow[None, :, :], dist_sym, 0),
+                    axis=0)
+                dsym = (wd >> ((didx & 3) << 3)) & 255
+                ds = jnp.minimum(dsym, 29)
+                e_d = jnp.where(ds < 4, 0, (ds >> 1) - 1)
+                dbase = jnp.where(ds < 4, ds + 1,
+                                  ((2 + (ds & 1)) << e_d) + 1)
+                dist = dbase + (
+                    (win2 >> dls.astype(jnp.uint32)).astype(jnp.int32)
+                    & ((1 << e_d) - 1))
+                is_match = is_runtok & ~dbad & (dsym <= 29)
 
-            if multiblock:
-                # boundary EOB: jump over the next block's header and
-                # switch to the unit's second table column (at most one
-                # crossing per unit — the index guarantees it)
-                may_jump = is_eob & (jumpv > 0) & ~swb
-                bad_eob = is_eob & ~may_jump
-            else:
-                bad_eob = is_eob
-            bad = active & (lbad | bad_eob | (~is_lit & ~is_eob
-                                              & ~is_runtok)
-                            | (is_runtok & ~is_match))
-            tl = jnp.where(active & is_lit, 1,
-                           jnp.where(active & is_match, run, 0))
-            aux = jnp.where(is_lit, -(sym + 1), dist - 1).astype(adt)
-            # monotone stamp: tokens arrive in increasing byte order, so
-            # stamping the whole tail [cur, ob) is correct — later tokens
-            # overwrite it; bytes past the last token stay SENTINEL and
-            # are caught by the coverage checks downstream
-            start = jnp.where(active & (tl > 0), cur, ob)  # ob => no stamp
-            # mask compare stays int32 (Mosaic lacks ordered i16 cmps);
-            # the stamped values are int16 — half the read+write traffic
-            mask = iota_b >= start[:, None, :]
-            attr_ref[0] = jnp.where(mask, aux[:, None, :], attr_ref[0])
-            step = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
-            if multiblock:
-                step = jnp.where(may_jump, ls + jumpv, step)
-            bitrel = bitrel + jnp.where(active & ~bad, step, 0)
-            flag = flag | jnp.where(bad, 1, 0)
+                if multiblock:
+                    # boundary EOB: jump over the next block's header and
+                    # switch to the unit's second table column (at most
+                    # one crossing per unit — the index guarantees it)
+                    may_jump = is_eob & (jumpv > 0) & ~swb
+                    bad_eob = is_eob & ~may_jump
+                else:
+                    bad_eob = is_eob
+                bad = active & (lbad | bad_eob | (~is_lit & ~is_eob
+                                                  & ~is_runtok)
+                                | (is_runtok & ~is_match))
+                tl = jnp.where(active & is_lit, 1,
+                               jnp.where(active & is_match, run, 0))
+                aux = jnp.where(is_lit, -(sym + 1), dist - 1).astype(adt)
+                if pair:
+                    # speculative second literal: when this token is a
+                    # literal and the next code (bits [ls, ls+15) of the
+                    # same 32-bit window) decodes as a literal too, both
+                    # are consumed in one step — one stamp pass, one
+                    # refill.  The index's pair_steps field counts the
+                    # same greedy pairing, so the tile's step bound
+                    # shrinks to match.
+                    ls2, sym2, lbad2 = _lit_decode(
+                        win >> ls.astype(jnp.uint32), swb)
+                    take2 = active & is_lit & ~lbad2 & (sym2 < 256)
+                    aux2 = (-(sym2 + 1)).astype(adt)
+                # monotone stamp: tokens arrive in increasing byte order,
+                # so stamping the whole tail [cur, ob) is correct — later
+                # tokens overwrite it; bytes past the last token stay
+                # SENTINEL and are caught by the coverage checks
+                # downstream
+                start = jnp.where(active & (tl > 0), cur, ob)  # ob => no-op
+                # mask compare stays int32 (Mosaic lacks ordered i16
+                # cmps); the stamped values are int16 — half the
+                # read+write traffic
+                mask = iota_b >= start[:, None, :]
+                if pair:
+                    m2 = take2[:, None, :] & (iota_b > start[:, None, :])
+                    val = jnp.where(m2, aux2[:, None, :], aux[:, None, :])
+                    attr_ref[0] = jnp.where(mask, val, attr_ref[0])
+                    tl = tl + jnp.where(take2, 1, 0)
+                else:
+                    attr_ref[0] = jnp.where(mask, aux[:, None, :],
+                                            attr_ref[0])
+                step = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
+                if pair:
+                    step = jnp.where(take2, ls + ls2, step)
+                if multiblock:
+                    step = jnp.where(may_jump, ls + jumpv, step)
+                bitrel = bitrel + jnp.where(active & ~bad, step, 0)
+                flag = flag | jnp.where(bad, 1, 0)
 
-            # window refill: two picks at the new base (+ a third only on
-            # the multiblock jump path, whose shift can exceed 2 words)
-            new_wq = bitrel >> 5
-            sh = new_wq - wq
-            d3 = iota_s - new_wq[:, None, :]
-            p1 = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(d3 == 1, spans, 0), axis=1), jnp.uint32)
-            p2 = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(d3 == 2, spans, 0), axis=1), jnp.uint32)
-            w0s = jnp.where(sh == 0, w0, jnp.where(sh == 1, w1, w2))
-            if multiblock:
-                p0 = jax.lax.bitcast_convert_type(
-                    jnp.sum(jnp.where(d3 == 0, spans, 0), axis=1),
+                # window refill: two picks at the new base (+ a third
+                # only on the multiblock jump path, whose shift can
+                # exceed 2 words)
+                new_wq = bitrel >> 5
+                sh = new_wq - wq
+                d3 = iota_s - new_wq[:, None, :]
+                p1 = jax.lax.bitcast_convert_type(
+                    jnp.sum(jnp.where(d3 == 1, spans, 0), axis=1),
                     jnp.uint32)
-                w0n = jnp.where(sh > 2, p0, w0s)
-            else:
-                w0n = w0s  # sh <= 2: token steps are <= 48 bits
-            w1n = jnp.where(sh == 0, w1, jnp.where(sh == 1, w2, p1))
-            w2n = jnp.where(sh == 0, w2, p2)
-            if multiblock:
-                sw = sw | jnp.where(active & may_jump, 1, 0)
-                return bitrel, cur + tl, flag, w0n, w1n, w2n, sw
-            return bitrel, cur + tl, flag, w0n, w1n, w2n
+                p2 = jax.lax.bitcast_convert_type(
+                    jnp.sum(jnp.where(d3 == 2, spans, 0), axis=1),
+                    jnp.uint32)
+                w0s = jnp.where(sh == 0, w0, jnp.where(sh == 1, w1, w2))
+                if multiblock:
+                    p0 = jax.lax.bitcast_convert_type(
+                        jnp.sum(jnp.where(d3 == 0, spans, 0), axis=1),
+                        jnp.uint32)
+                    w0n = jnp.where(sh > 2, p0, w0s)
+                else:
+                    w0n = w0s  # sh <= 2: token steps are <= 48 bits
+                w1n = jnp.where(sh == 0, w1, jnp.where(sh == 1, w2, p1))
+                w2n = jnp.where(sh == 0, w2, p2)
+                if multiblock:
+                    sw = sw | jnp.where(active & may_jump, 1, 0)
+                    return bitrel, cur + tl, flag, w0n, w1n, w2n, sw
+                return bitrel, cur + tl, flag, w0n, w1n, w2n
+
+            return body
 
         attr_ref[0] = jnp.full((TUR, ob, 128), SENTINEL, adt)
         bitrel0 = sub0
@@ -408,22 +444,33 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
 
         @pl.when(mode == 1)
         def _lit_tile():
-            # every live unit in this tile is all-literal: cursor == step
+            # every live unit in this tile is all-literal: cursor == 2·step
             fin = jax.lax.fori_loop(0, kb, lit_body,
                                     (bitrel0, flag0) + w_init[:2],
                                     unroll=unroll)
             flag_ref[...] = fin[1]
 
-        @pl.when(mode != 1)
-        def _gen_tile():
+        def _gen(pair):
             init = (bitrel0, cur0, flag0) + w_init
             if multiblock:
                 init = init + (jnp.zeros((TUR, 128), jnp.int32),)
-            fin = jax.lax.fori_loop(0, kb, body, init, unroll=unroll)
+            fin = jax.lax.fori_loop(0, kb, make_body(pair), init,
+                                    unroll=unroll)
             bitrel, cur, flag = fin[:3]
             # coverage: every owned byte must be stamped (the last unit
             # of a stream owns < ob bytes; padding units own 0)
             flag_ref[...] = flag | jnp.where(cur < owned, 2, 0)
+
+        @pl.when(mode == 0)
+        def _gen_tile():
+            _gen(False)
+
+        @pl.when(mode == 2)
+        def _pair_tile():
+            # literal-dense mixed tiles: the step bound is the tile's max
+            # pair_steps (host-computed), so adjacent-literal absorption
+            # buys real steps, not just wasted speculation
+            _gen(True)
 
         # Adler-32 literal partials (per unit, sublane reductions):
         #   s1 = Σ d[b],  s2 = Σ (ob - b)·d[b]   over owned literal bytes
@@ -449,10 +496,12 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
     """Run the lockstep decode+stamp kernel over all unit tiles.
 
     Args:
-      kbound: ``(T, 2)`` int32 — per tile: [0] the step bound (max tokens
-        of any unit in the tile; 0 for pure-padding tiles), [1] the tile
-        mode (1 = every live unit is all-literal → the single-row-store
-        fast loop; 0 = general stamp loop).
+      kbound: ``(T, 2)`` int32 — per tile: [0] the step bound (0 for
+        pure-padding tiles), [1] the tile mode.  Mode 1 = every live
+        unit is all-literal → the row-store fast loop decoding TWO
+        literals per step (bound = ceil(max n_tokens / 2)); mode 2 =
+        general stamp loop with adjacent-literal pairing (bound = max
+        pair_steps); mode 0 = plain general loop (bound = max n_tokens).
       spans: ``(T, TUR, S, 128)`` uint32 — per-unit span words,
         transposed so units ride lanes: word ``s`` of unit
         ``t·1024 + g·128 + l`` sits at ``[t, g, s, l]``.

@@ -367,3 +367,44 @@ def test_collapse_auto_policy_matches():
         out, adler = eng.run([body], [ix], keep_on_device=False)
         assert bytes(out[0]) == data
         assert int(adler[0]) == zlib.adler32(data)
+
+
+@pytest.mark.parametrize("name,data", payloads())
+def test_pair_steps_invariants(name, data):
+    """pair_steps (v3): host and native builders agree; the count is a
+    valid lockstep bound (ceil(n/2) <= pair_steps <= n_tokens); and it
+    survives serialization."""
+    from swift_png_tpu.lz77.index import _build_index_host
+
+    stream = one_block_zlib(data)
+    body = stream[2:-4]
+    ih = _build_index_host(body, len(data), 256)
+    ix = build_index(body, len(data), 256)
+    assert ih is not None and ix is not None
+    assert (ih.pair_steps == ix.pair_steps).all()
+    ps = ix.pair_steps.astype(int)
+    nt = ix.n_tokens.astype(int)
+    assert (ps <= nt).all()
+    assert (ps >= (nt + 1) // 2).all()
+    rt = CheckpointIndex.parse(ix.serialize())
+    assert (rt.pair_steps == ix.pair_steps).all()
+
+
+def test_pair_mode_tiles_bit_exact():
+    """Content whose paired-step bound is far below the token bound (so
+    prepare() picks the pairing loop, mode 2) decodes bit-exact with a
+    correct Adler through the Pallas path."""
+    rng = np.random.default_rng(9)
+    data = b"".join(
+        [rng.integers(0, 256, 499, dtype=np.uint8).tobytes()
+         + b"pattern" * 20 for _ in range(12)])
+    stream = one_block_zlib(data)
+    body = stream[2:-4]
+    ix = build_index(body, len(data), 256)
+    ps = ix.pair_steps.astype(int)
+    nt = ix.n_tokens.astype(int)
+    assert ps.max() * 8 <= nt.max() * 7, "payload must trigger mode 2"
+    eng = CheckpointInflator(ob=256, backend="pallas")
+    out, adler = eng.run([body, body], [ix, ix], keep_on_device=False)
+    assert bytes(out[0]) == data and bytes(out[1]) == data
+    assert int(adler[0]) == zlib.adler32(data)
