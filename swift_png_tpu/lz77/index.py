@@ -94,9 +94,10 @@ class CheckpointIndex:
                                # stored-block header interrupts the copy
                                # source (GAP_NONE ⇒ contiguous)
     pair_steps: np.ndarray | None = None  # (U,) uint32 — lockstep steps
-                               # when the kernel absorbs an adjacent
-                               # literal pair per step (v3; None ⇒
-                               # unknown — callers bound by n_tokens)
+                               # when the kernel absorbs a literal that
+                               # follows a literal or match in the same
+                               # step (v3; None ⇒ unknown — callers
+                               # bound by n_tokens)
 
     def __post_init__(self):
         self.lit_lengths = np.atleast_2d(np.asarray(self.lit_lengths,
@@ -365,10 +366,11 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
     unit = 0
     unit_end = ob
     toks = 0
-    # lockstep steps when the kernel absorbs (literal, literal) pairs:
-    # a step consumes token t, plus token t+1 iff both are literals
+    # lockstep steps when the kernel absorbs trailing literals: a step
+    # consumes token t, plus token t+1 iff t is a literal or match (not
+    # EOB) and t+1 is a literal
     psteps = 0
-    pend_lit = False
+    pend_open = False
     unit_open = False
     match_bytes = 0
     match_segs = 0
@@ -491,7 +493,7 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                 if unit_open and not final:
                     toks += 1  # boundary EOB: zero-output token
                     psteps += 1
-                    pend_lit = False
+                    pend_open = False
                     pending_unit = unit
                 pos += ln2
                 pending_end = pos
@@ -504,7 +506,7 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                     unit_open = True
                     toks = 0
                     psteps = 0
-                    pend_lit = False
+                    pend_open = False
                 tpos, tlen = pos, 1
                 pos += ln2
             elif sym > 285:
@@ -517,7 +519,7 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                     unit_open = True
                     toks = 0
                     psteps = 0
-                    pend_lit = False
+                    pend_open = False
                 dec = sym - 257
                 eb = int(run_extra[dec])
                 run = int(run_base[dec]) + ((window >> ln2) & (
@@ -543,11 +545,11 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
             if eob:
                 break
             toks += 1
-            if sym < 256 and pend_lit:
-                pend_lit = False          # absorbed into the open pair
+            if sym < 256 and pend_open:
+                pend_open = False         # absorbed into the open step
             else:
                 psteps += 1
-                pend_lit = sym < 256
+                pend_open = True          # lit/match both leave a slot
             o += tlen
             # token crossed into (or completed) unit(s)
             while o >= unit_end and unit + 1 < U:
@@ -566,7 +568,9 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                     unit_open = False
                     toks = 0
                     psteps = 0
-                pend_lit = False
+                # a crossing match (toks == 1 branch) may still absorb a
+                # following literal; an exact boundary starts closed
+                pend_open = toks == 1
                 unit_end += ob
         w.pos = pos
         if final:

@@ -627,10 +627,11 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
     uint64_t o = 0, unit = 0, unit_end = ob, toks = 0, match_bytes = 0;
     uint64_t match_segs = 0;
     long long last_seg = -1;
-    // lockstep steps when the device kernel absorbs (literal, literal)
-    // pairs: a step consumes token t, plus token t+1 iff both literals
+    // lockstep steps when the device kernel absorbs trailing literals:
+    // a step consumes token t, plus token t+1 iff t is a literal or
+    // match (not EOB) and t+1 is a literal
     uint64_t psteps = 0;
-    bool pend_lit = false;
+    bool pend_open = false;
     bool unit_open = false, stored_open = false;
     long long pending_unit = -1;
     uint64_t pending_end = 0;
@@ -728,7 +729,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                 if (unit_open && !final_) {
                     toks++;  // boundary EOB: zero-output token
                     psteps++;
-                    pend_lit = false;
+                    pend_open = false;
                     pending_unit = (long long)unit;
                 }
                 pending_end = br.pos * 8 - br.bits;
@@ -741,7 +742,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                     unit_open = true;
                     toks = 0;
                     psteps = 0;
-                    pend_lit = false;
+                    pend_open = false;
                 }
                 tlen = 1;
             } else if (sym > 285) {
@@ -754,7 +755,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                     unit_open = true;
                     toks = 0;
                     psteps = 0;
-                    pend_lit = false;
+                    pend_open = false;
                 }
                 int dec = sym - 257;
                 uint32_t run = RUN_BASE[dec] + br.read(RUN_EXTRA[dec]);
@@ -774,11 +775,11 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             }
             if (eob) break;
             toks++;
-            if (sym < 256 && pend_lit) {
-                pend_lit = false;         // absorbed into the open pair
+            if (sym < 256 && pend_open) {
+                pend_open = false;        // absorbed into the open step
             } else {
                 psteps++;
-                pend_lit = sym < 256;
+                pend_open = true;         // lit/match both leave a slot
             }
             o += tlen;
             if (o > out_size) return SPT_E_OUTPUT;
@@ -799,7 +800,9 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                     toks = 0;
                     psteps = 0;
                 }
-                pend_lit = false;
+                // a crossing match (toks == 1) may still absorb a
+                // following literal; an exact boundary starts closed
+                pend_open = toks == 1;
                 unit_end += ob;
             }
         }

@@ -362,17 +362,31 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 tl = jnp.where(active & is_lit, 1,
                                jnp.where(active & is_match, run, 0))
                 aux = jnp.where(is_lit, -(sym + 1), dist - 1).astype(adt)
+                step1 = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
                 if pair:
                     # speculative second literal: when this token is a
-                    # literal and the next code (bits [ls, ls+15) of the
-                    # same 32-bit window) decodes as a literal too, both
-                    # are consumed in one step — one stamp pass, one
-                    # refill.  The index's pair_steps field counts the
-                    # same greedy pairing, so the tile's step bound
-                    # shrinks to match.
-                    ls2, sym2, lbad2 = _lit_decode(
-                        win >> ls.astype(jnp.uint32), swb)
-                    take2 = active & is_lit & ~lbad2 & (sym2 < 256)
+                    # literal or match and the next code decodes as a
+                    # literal, both are consumed in one step — one stamp
+                    # pass, one refill.  The next code starts at bitrel +
+                    # step1 <= bitrel + 48, so its 15 bits end within the
+                    # three register words (sub <= 31 ⇒ bit 94 < 96); the
+                    # index's pair_steps field counts the same greedy
+                    # absorption, so the tile's step bound shrinks to
+                    # match.
+                    bit3 = bitrel + step1
+                    w3i = (bit3 >> 5) - wq          # 0, 1, or 2
+                    wa3 = jnp.where(w3i == 0, w0,
+                                    jnp.where(w3i == 1, w1, w2))
+                    # when w3i == 2 the code fits w2 alone (sub3 <= 15),
+                    # so the high word is never read past the registers
+                    wb3 = jnp.where(w3i == 0, w1, w2)
+                    sub3 = (bit3 & 31).astype(jnp.uint32)
+                    win3 = (wa3 >> sub3) | jnp.where(
+                        sub3 == 0, jnp.uint32(0),
+                        wb3 << ((32 - sub3) & 31))
+                    ls2, sym2, lbad2 = _lit_decode(win3, swb)
+                    take2 = (active & (is_lit | is_match) & ~lbad2
+                             & (sym2 < 256))
                     aux2 = (-(sym2 + 1)).astype(adt)
                 # monotone stamp: tokens arrive in increasing byte order,
                 # so stamping the whole tail [cur, ob) is correct — later
@@ -385,16 +399,19 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 # read+write traffic
                 mask = iota_b >= start[:, None, :]
                 if pair:
-                    m2 = take2[:, None, :] & (iota_b > start[:, None, :])
+                    # the absorbed literal lands right after this token's
+                    # span: rows >= start + tl take its value
+                    m2 = (take2[:, None, :]
+                          & (iota_b >= (start + tl)[:, None, :]))
                     val = jnp.where(m2, aux2[:, None, :], aux[:, None, :])
                     attr_ref[0] = jnp.where(mask, val, attr_ref[0])
                     tl = tl + jnp.where(take2, 1, 0)
                 else:
                     attr_ref[0] = jnp.where(mask, aux[:, None, :],
                                             attr_ref[0])
-                step = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
+                step = step1
                 if pair:
-                    step = jnp.where(take2, ls + ls2, step)
+                    step = jnp.where(take2, step1 + ls2, step)
                 if multiblock:
                     step = jnp.where(may_jump, ls + jumpv, step)
                 bitrel = bitrel + jnp.where(active & ~bad, step, 0)
