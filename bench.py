@@ -189,14 +189,19 @@ def main() -> None:
             sbodies.append(s[2:-4])
             sixs.append(build_index(s[2:-4], out_size, OB))
         sprep = eng.prepare(sbodies, sixs)
-        scap = eng._pow2(sum(ix.match_bytes for ix in sixs) + 64, 1 << 10)
+        smatch = sum(ix.match_bytes for ix in sixs)
+        scap = eng._pow2(smatch + 64, 1 << 10)
+        # CheckpointInflator.run's auto policy: match-heavy content goes
+        # through the dense pointer collapse + RLE value fill
+        scol = (smatch * 2 > Bs * out_size
+                and sprep["Ui_pad"] * OB < (1 << 24))
 
         def sinflate():
             return inflate_indexed_pallas(
                 sprep["kbound"], sprep["spans3"], sprep["meta"],
                 sprep["tabs"], sprep["symtab"], ob=OB, n_streams=Bs,
                 out_size=out_size, expand_cap=scap, S=sprep["S"],
-                interpret=not on_tpu)
+                interpret=not on_tpu, collapse=scol)
 
         sout, sflag, sadler, _ = sinflate()
         assert int(np.asarray(sflag).max()) == 0

@@ -270,26 +270,34 @@ def _adler_batch(out, out_size):
     weight mod) and sums folded every 64 elements.
     """
     B, Opad = out.shape
+
+    def fold64(x):
+        # 64-way fold with zero padding: intermediate levels are not
+        # generally 64-divisible (e.g. Opad 1049088 → 16392)
+        n = x.shape[1]
+        npad = -(-n // 64) * 64
+        if npad != n:
+            x = jnp.concatenate(
+                [x, jnp.zeros((B, npad - n), x.dtype)], axis=1)
+        return x.reshape(B, -1, 64).sum(axis=2)
+
     d = out.astype(jnp.int32)
     i = jnp.arange(Opad, dtype=jnp.int32)[None, :]
     live = i < out_size
     w = _mod65521(jnp.where(live, out_size - i, 0))
     p = jnp.where(live, w * d, 0)          # < 65521·255 < 2^24
-    pc = p.reshape(B, -1, 64).sum(axis=2)  # < 2^30
-    pc = _mod65521(pc)
+    pc = _mod65521(fold64(p))              # < 2^30 before the mod
     s2 = out_size % 65521
     while pc.shape[1] > 1:
-        n = pc.shape[1]
-        if n > 8192:
-            pc = _mod65521(pc.reshape(B, -1, 64).sum(axis=2))
+        if pc.shape[1] > 8192:
+            pc = _mod65521(fold64(pc))
         else:
             pc = _mod65521(pc.sum(axis=1, keepdims=True))
     s2 = _mod65521(pc[:, 0] + s2)
-    dc = jnp.where(live, d, 0).reshape(B, -1, 64).sum(axis=2)
+    dc = fold64(jnp.where(live, d, 0))
     while dc.shape[1] > 1:
-        n = dc.shape[1]
-        if n > 8192:
-            dc = _mod65521(dc.reshape(B, -1, 64).sum(axis=2))
+        if dc.shape[1] > 8192:
+            dc = _mod65521(fold64(dc))
         else:
             dc = _mod65521(dc.sum(axis=1, keepdims=True))
     s1 = _mod65521(dc[:, 0] + 1)
