@@ -57,9 +57,33 @@ def _filtered(pixels: np.ndarray) -> np.ndarray:
     return out
 
 
+def _accelerator_alive(timeout: float = 900.0) -> bool:
+    """Probe backend init in a subprocess: when the TPU tunnel is down,
+    ``jax.devices()`` hangs indefinitely (observed), which would hang
+    the whole bench.  The child is killed on timeout and the bench
+    falls back to CPU so the driver always gets a JSON line."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    tpu_unavailable = False
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _accelerator_alive(
+            float(os.environ.get("SPT_TPU_PROBE_S", "900"))):
+        tpu_unavailable = True
+
     import jax
 
+    if tpu_unavailable:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -70,7 +94,7 @@ def main() -> None:
                                                       inflate_indexed_pallas)
     from swift_png_tpu.parallel.batch import decode_stage
 
-    B = int(os.environ.get("SPT_BENCH_B", "32"))
+    B = int(os.environ.get("SPT_BENCH_B", "4" if tpu_unavailable else "32"))
     H, W = 512, 512
     OB = int(os.environ.get("SPT_BENCH_OB", "256"))
     pitch1 = 1 + W * 4
@@ -232,6 +256,8 @@ def main() -> None:
         "compressed_ratio": round(
             sum(len(b) for b in bodies) / nbytes, 3),
     }
+    if tpu_unavailable:
+        result["tpu_unavailable"] = True  # CPU fallback — not a chip number
     if smooth_gbps is not None:
         result["decode_smooth_gbps"] = smooth_gbps
     if size9 is not None and t9 < float("inf"):
