@@ -408,3 +408,33 @@ def test_pair_mode_tiles_bit_exact():
     out, adler = eng.run([body, body], [ix, ix], keep_on_device=False)
     assert bytes(out[0]) == data and bytes(out[1]) == data
     assert int(adler[0]) == zlib.adler32(data)
+
+
+def test_corrupt_body_with_stale_index_flags():
+    """Bit flips in the body after the index was built (pair-mode
+    content) must surface as a typed error — the kernel's structural
+    flags or the Adler backstop, never a silent wrong accept."""
+    from swift_png_tpu.lz77.errors import DecompressionError
+
+    rng = np.random.default_rng(17)
+    data = b"".join(
+        [rng.integers(0, 256, 499, dtype=np.uint8).tobytes()
+         + b"pattern" * 20 for _ in range(12)])
+    stream = one_block_zlib(data)
+    body = stream[2:-4]
+    ix = build_index(body, len(data), 256)
+    eng = CheckpointInflator(ob=256, backend="pallas")
+    flagged = 0
+    for trial in range(6):
+        bad = bytearray(body)
+        for _ in range(4):
+            bad[int(rng.integers(16, len(bad) - 8))] ^= 1 << int(
+                rng.integers(0, 8))
+        try:
+            out, adler = eng.run([bytes(bad)], [ix], keep_on_device=False)
+        except DecompressionError:
+            flagged += 1
+            continue
+        if int(adler[0]) != zlib.adler32(data):
+            flagged += 1
+    assert flagged == 6
