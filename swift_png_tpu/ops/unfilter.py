@@ -76,32 +76,47 @@ def defilter(filtered: jnp.ndarray, delay: int) -> jnp.ndarray:
     ftype = filtered[:, 0].astype(jnp.int32)[:, None]  # (H, 1)
     data = filtered[:, 1:].reshape(H, G, delay)
 
+    # K diagonals per scan step: the per-step body is tiny (H·delay
+    # elements), so the scan's per-iteration overhead dominates the
+    # whole defilter — chunking cuts the iteration count K-fold while
+    # the K inner updates stay one fused loop body
+    K = 8
+    Dn_pad = -(-Dn // K) * K
+
     # skew: S[d, y] = data[y, d - y] (zeros where g out of range)
     y_idx = jnp.arange(H)
-    d_idx = jnp.arange(Dn)
-    g = d_idx[:, None] - y_idx[None, :]                      # (Dn, H)
+    d_idx = jnp.arange(Dn_pad)
+    g = d_idx[:, None] - y_idx[None, :]                      # (Dn_pad, H)
     valid = (g >= 0) & (g < G)
     S = jnp.take_along_axis(
         data.transpose(1, 0, 2)[None],                       # (1, G, H, delay)
-        jnp.clip(g, 0, G - 1)[:, None, :, None],             # (Dn, 1, H, 1)
+        jnp.clip(g, 0, G - 1)[:, None, :, None],             # (Dn_pad, 1, H, 1)
         axis=1,
-    )[:, 0]                                                  # (Dn, H, delay)
+    )[:, 0]                                                  # (Dn_pad, H, delay)
     S = jnp.where(valid[:, :, None], S, 0)
 
     zrow = jnp.zeros((1, delay), jnp.uint8)
 
     def step(carry, xs):
         col_m1, col_m2 = carry                               # (H, delay) u8
-        x, vmask = xs                                        # (H, delay), (H,)
-        a = col_m1.astype(jnp.int32)
-        b = jnp.concatenate([zrow, col_m1[:-1]]).astype(jnp.int32)
-        c = jnp.concatenate([zrow, col_m2[:-1]]).astype(jnp.int32)
-        out = (x.astype(jnp.int32) + _predict(ftype, a, b, c)) & 0xFF
-        out = jnp.where(vmask[:, None], out, 0).astype(jnp.uint8)
-        return (out, col_m1), out
+        xk, vk = xs                                  # (K, H, delay), (K, H)
+        outs = []
+        for k in range(K):
+            a = col_m1.astype(jnp.int32)
+            b = jnp.concatenate([zrow, col_m1[:-1]]).astype(jnp.int32)
+            c = jnp.concatenate([zrow, col_m2[:-1]]).astype(jnp.int32)
+            out = (xk[k].astype(jnp.int32)
+                   + _predict(ftype, a, b, c)) & 0xFF
+            out = jnp.where(vk[k][:, None], out, 0).astype(jnp.uint8)
+            col_m1, col_m2 = out, col_m1
+            outs.append(out)
+        return (col_m1, col_m2), jnp.stack(outs)
 
-    _, outs = jax.lax.scan(step, (zrow.repeat(H, 0), zrow.repeat(H, 0)),
-                           (S, valid))
+    _, outs = jax.lax.scan(
+        step, (zrow.repeat(H, 0), zrow.repeat(H, 0)),
+        (S.reshape(Dn_pad // K, K, H, delay),
+         valid.reshape(Dn_pad // K, K, H)))
+    outs = outs.reshape(Dn_pad, H, delay)
     # unskew: O[y, g] = outs[y + g, y]
     d_of = (y_idx[:, None] + jnp.arange(G)[None, :])         # (H, G)
     O = jnp.take_along_axis(
