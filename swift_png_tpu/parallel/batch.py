@@ -370,8 +370,11 @@ def decode_indexed(pngs: list[bytes], backend: str = "auto"):
     ``Image.compress(..., index=True)``).
 
     Returns ``(B, H, W, 4)`` uint8 pixels on device, or ``None`` when any
-    file is outside the fast path (no index, interlaced, non-rgba8/rgb8) —
-    callers then use :class:`BatchCodec` / ``Image.decompress``.
+    file is outside the fast path (no index, interlaced, iOS/CgBI) —
+    callers then use :class:`BatchCodec` / ``Image.decompress``.  Every
+    non-interlaced standard format is served: gray/rgb/alpha at 8/16
+    bits, palette and sub-byte depths (per-image palettes and chroma
+    keys ride the batch like :meth:`BatchCodec.decode`).
     """
     from ..lz77.index import CheckpointIndex
     from ..ops.inflate_checkpoint import CheckpointInflator
@@ -379,29 +382,38 @@ def decode_indexed(pngs: list[bytes], backend: str = "auto"):
     from ..png import parsing
     from ..png.chunk import ByteSource
 
-    bodies, indexes, headers = [], [], []
+    bodies, indexes, headers, pals, keys = [], [], [], [], []
     for data in pngs:
         src = ByteSource(data)
         src.signature()
         type_, payload = src.chunk()
+        if type_ == chunks.CgBI:
+            return None  # iOS stream framing: general path
         if type_ != chunks.IHDR:
             return None
         header = parsing.Header.parse(payload, "common")
-        idats, ix = [], None
+        idats, ix, palette, transparency = [], None, None, None
         while type_ != chunks.IEND:
             type_, payload = src.chunk()
             if type_ == chunks.IDAT:
                 idats.append(payload)
             elif type_ == chunks.spIx:
                 ix = CheckpointIndex.parse(payload)
+            elif type_ == chunks.PLTE:
+                palette = parsing.Palette.parse(payload, header.pixel)
+            elif type_ == chunks.tRNS:
+                transparency = parsing.Transparency.parse(
+                    payload, header.pixel, palette)
         if ix is None or header.interlaced:
             return None
-        if header.pixel.name not in ("rgba8", "rgb8", "v8", "va8"):
+        if header.pixel.is_indexed and palette is None:
             return None
         full = b"".join(idats)
         bodies.append(full[2:-4])
         indexes.append(ix)
         headers.append(header)
+        pals.append(palette)
+        keys.append(transparency)
     out_sizes = {ix.out_size for ix in indexes}
     obs = {ix.ob for ix in indexes}
     if len(out_sizes) != 1 or len(obs) != 1:
@@ -414,8 +426,31 @@ def decode_indexed(pngs: list[bytes], backend: str = "auto"):
     eng = CheckpointInflator(ob=indexes[0].ob, backend=backend)
     out, _ = eng.run(bodies, indexes, keep_on_device=True)
     W, H = h0.size
-    channels = h0.pixel.channels
-    pitch1 = 1 + W * channels
-    filtered = out.reshape(len(pngs), H, pitch1)
-    return decode_stage(filtered, delay=channels, depth=8,
-                        channels=channels, width=W, bits=8)
+    pixel = h0.pixel
+    B = len(pngs)
+    delay = (pixel.volume + 7) >> 3
+    pitch1 = 1 + ((W * pixel.volume + 7) >> 3)
+    pal_arr = key_arr = None
+    if pixel.is_indexed:
+        pa = np.zeros((B, 256, 4), np.int32)
+        for b, (palette, transparency) in enumerate(zip(pals, keys)):
+            alphas = list(transparency.value) if transparency else []
+            for i, (r, g, bb) in enumerate(palette.entries):
+                pa[b, i] = (r, g, bb,
+                            alphas[i] if i < len(alphas) else 255)
+        pal_arr = jnp.asarray(pa)
+    elif any(t is not None for t in keys):
+        ka = np.full((B, pixel.channels), -1, np.int32)
+        for b, transparency in enumerate(keys):
+            if transparency is None:
+                continue
+            if transparency.case == "v":
+                ka[b, 0] = transparency.value
+            else:
+                ka[b] = transparency.value
+        key_arr = jnp.asarray(ka)
+    filtered = out.reshape(B, H, pitch1)
+    return decode_stage(filtered, delay=delay, depth=pixel.depth,
+                        channels=pixel.channels, width=W,
+                        is_indexed=pixel.is_indexed, palette=pal_arr,
+                        has_key=key_arr is not None, key=key_arr, bits=8)

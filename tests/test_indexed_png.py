@@ -48,3 +48,49 @@ def test_decode_indexed_falls_back_without_index():
     img = _image(1)
     pngs = [img.compress_bytes(level=6)]  # no index chunk
     assert decode_indexed(pngs) is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
+@pytest.mark.parametrize("kind", ["v8", "va16", "rgb16", "indexed8", "v4"])
+def test_decode_indexed_wide_formats(kind):
+    """The indexed fast path serves every non-interlaced standard
+    format: gray/alpha/16-bit, palette, and sub-byte depths."""
+    from swift_png_tpu.png.format import Format, Layout
+
+    rng = np.random.default_rng(abs(hash(kind)) % 2**31)
+    H, W = 40, 36
+    imgs = []
+    for seed in range(2):
+        if kind == "indexed8":
+            pal = tuple(
+                (int(r), int(g), int(b), 255)
+                for r, g, b in rng.integers(0, 256, (16, 3)))
+            fmt = Format("indexed8", pal)
+            idx = rng.integers(0, 16, H * W)
+            px = np.array([pal[i] for i in idx],
+                          np.uint8).reshape(H, W, 4)
+        elif kind == "v4":
+            fmt = Format(kind, ())
+            v = (rng.integers(0, 16, (H, W), dtype=np.uint8) * 17)
+            px = np.stack([v, v, v, np.full_like(v, 255)], axis=-1)
+        elif kind == "v8":
+            fmt = Format(kind, ())
+            v = rng.integers(0, 256, (H, W), dtype=np.uint8)
+            px = np.stack([v, v, v, np.full_like(v, 255)], axis=-1)
+        elif kind == "va16":
+            fmt = Format(kind, ())
+            v = rng.integers(0, 1 << 16, (H, W), dtype=np.uint16)
+            a = rng.integers(0, 1 << 16, (H, W), dtype=np.uint16)
+            px = np.stack([v, v, v, a], axis=-1)
+        else:  # rgb16
+            fmt = Format(kind, ())
+            px = rng.integers(0, 1 << 16, (H, W, 4), dtype=np.uint16)
+            px[..., 3] = 0xFFFF
+        layout = Layout(fmt, False)
+        imgs.append(png.Image.pack(px, layout))
+    pngs = [im.compress_bytes(level=6, index=True) for im in imgs]
+    pixels = decode_indexed(pngs, backend="xla")
+    assert pixels is not None, kind
+    got = np.asarray(pixels)
+    for i, im in enumerate(imgs):
+        assert np.array_equal(got[i], im.unpack_rgba8()), (kind, i)
