@@ -729,10 +729,12 @@ class CheckpointInflator:
             sb = (ix.bit_pos >> 3).astype(np.int64)
             buf = np.frombuffer(body, np.uint8)
             base = i * Ui
-            for u in range(Ui):
-                s = int(sb[u])
-                e = min(len(buf), s + S * 4)
-                spans[base + u, : e - s] = buf[s:e]
+            # one fancy-index gather instead of a per-unit Python loop
+            # (U can be 100k+); reads past the body land in zero padding
+            bufp = np.zeros(len(buf) + S * 4, np.uint8)
+            bufp[: len(buf)] = buf
+            spans[base: base + Ui] = bufp[
+                sb[:, None] + np.arange(S * 4)[None, :]]
             sub0[base: base + Ui] = (
                 ix.bit_pos - (sb << 3).astype(np.uint64)).astype(np.int32)
             n_tokens[base: base + Ui] = ix.n_tokens
