@@ -197,9 +197,13 @@ def main() -> None:
         pass
 
     # ---- worst-case content: smooth gradients (match-heavy, deep
-    # back-reference chains through the expansion's doubling path) -------
+    # back-reference chains through the expansion's doubling path);
+    # skipped on the CPU fallback (interpret-mode Pallas is unboundedly
+    # slow) -----------------------------------------------------------
     smooth_gbps = None
     try:
+        if tpu_unavailable:
+            raise RuntimeError("skip smooth extra on CPU fallback")
         Bs = 8
         y, x = np.mgrid[0:H, 0:W]
         sdatas, sbodies, sixs = [], [], []
@@ -215,10 +219,8 @@ def main() -> None:
         sprep = eng.prepare(sbodies, sixs)
         smatch = sum(ix.match_bytes for ix in sixs)
         scap = eng._pow2(smatch + 64, 1 << 10)
-        # CheckpointInflator.run's auto policy: match-heavy content goes
-        # through the dense pointer collapse + RLE value fill
-        scol = (smatch * 2 > Bs * out_size
-                and sprep["Ui_pad"] * OB < (1 << 24))
+        scol = CheckpointInflator.auto_collapse(
+            smatch, Bs, out_size, sprep["Ui_pad"], OB)
 
         def sinflate():
             return inflate_indexed_pallas(

@@ -189,6 +189,10 @@ class CheckpointIndex:
             raise ValueError("unsupported checkpoint index version")
         ver = data[0]
         ob = int.from_bytes(data[1:5], "big")
+        if ob < 64 or ob % 64 != 0:
+            # both builders require ob >= 64; a hostile spIx chunk must
+            # not drive the kernels with unit shapes they never see
+            raise ValueError("unsupported checkpoint index unit size")
         out_size = int.from_bytes(data[5:13], "big")
         end_bit = int.from_bytes(data[13:21], "big")
         U = int.from_bytes(data[21:25], "big")

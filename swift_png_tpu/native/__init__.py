@@ -33,6 +33,19 @@ _ERRORS = {
 _FORMATS = {"zlib": 0, "ios": 1, "raw": 1, "gzip": 2}
 
 
+_ABI_VERSION = 3
+
+
+def _abi_version(lib) -> int:
+    try:
+        fn = lib.spt_abi_version
+    except AttributeError:
+        return -1  # pre-handshake build
+    fn.restype = ctypes.c_int
+    fn.argtypes = []
+    return int(fn())
+
+
 def _load():
     global _lib, _load_failed
     if _lib is not None:
@@ -52,6 +65,20 @@ def _load():
     except OSError:
         _load_failed = True
         return None
+    # ABI handshake: a stale cached .so called through a newer argument
+    # layout corrupts memory silently — rebuild once on mismatch
+    if _abi_version(lib) != _ABI_VERSION:
+        from . import build as _build
+
+        try:
+            _build.build(verbose=False)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            _load_failed = True
+            return None
+        if _abi_version(lib) != _ABI_VERSION:
+            _load_failed = True
+            return None
     lib.spt_crc32.restype = ctypes.c_uint32
     lib.spt_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                               ctypes.c_uint32]

@@ -12,11 +12,21 @@ LIB = os.path.join(HERE, "libspt_native.so")
 
 
 def build(verbose: bool = True) -> str:
+    # compile to a temp name and atomically rename: writing the .so in
+    # place truncates the inode other live processes have mmap'd (their
+    # code pages turn to garbage → SIGSEGV); rename leaves old mappings
+    # on the old inode
+    tmp = LIB + f".tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", LIB] + [os.path.join(HERE, s) for s in SOURCES]
+           "-o", tmp] + [os.path.join(HERE, s) for s in SOURCES]
     if verbose:
         print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return LIB
 
 

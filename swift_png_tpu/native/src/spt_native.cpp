@@ -17,6 +17,12 @@
 
 extern "C" {
 
+// Bump on ANY exported-signature change; the Python loader refuses (and
+// rebuilds) a library whose version doesn't match, so a stale cached .so
+// can never be called through a new ABI (e.g. spt_build_index gained a
+// pair_steps pointer for v3 indexes).
+int spt_abi_version() { return 3; }
+
 // ---------------------------------------------------------------------------
 // checksums
 // ---------------------------------------------------------------------------

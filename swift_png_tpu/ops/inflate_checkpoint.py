@@ -688,6 +688,17 @@ class CheckpointInflator:
             p *= 2
         return p
 
+    @staticmethod
+    def auto_collapse(match_total: int, n_streams: int, out_size: int,
+                      ui_pad: int, ob: int) -> bool:
+        """Expansion-mode policy: match-heavy content (smooth/RLE-ish
+        images) goes through the dense pointer collapse + RLE value
+        fill; literal-heavy content keeps the cheaper literal-partial
+        checksum path.  The RLE fill key packs ``(pos << 8) | byte`` in
+        uint32, so the per-stream padded length must fit 24 bits."""
+        return (match_total * 2 > n_streams * out_size
+                and ui_pad * ob < (1 << 24))
+
     def prepare(self, bodies: list[bytes], indexes: list[CheckpointIndex]):
         """Slice per-unit spans to a dense device layout (host memcpy)."""
         from ..lz77.index import GAP_NONE, KIND_STORED
@@ -729,12 +740,13 @@ class CheckpointInflator:
             sb = (ix.bit_pos >> 3).astype(np.int64)
             buf = np.frombuffer(body, np.uint8)
             base = i * Ui
-            # one fancy-index gather instead of a per-unit Python loop
-            # (U can be 100k+); reads past the body land in zero padding
+            # strided window view instead of a per-unit Python loop
+            # (U can be 100k+) — no index matrix, no gathered temp;
+            # reads past the body land in zero padding
             bufp = np.zeros(len(buf) + S * 4, np.uint8)
             bufp[: len(buf)] = buf
-            spans[base: base + Ui] = bufp[
-                sb[:, None] + np.arange(S * 4)[None, :]]
+            spans[base: base + Ui] = np.lib.stride_tricks.\
+                sliding_window_view(bufp, S * 4)[sb]
             sub0[base: base + Ui] = (
                 ix.bit_pos - (sb << 3).astype(np.uint64)).astype(np.int32)
             n_tokens[base: base + Ui] = ix.n_tokens
@@ -851,12 +863,9 @@ class CheckpointInflator:
         # populations, so the expansion buffers are sized tightly
         match_total = sum(int(ix.match_bytes) for ix in indexes)
         if collapse is None:
-            # match-heavy content (smooth/RLE-ish images) goes through
-            # the dense pointer collapse + RLE value fill; literal-heavy
-            # content keeps the cheaper literal-partial checksum path.
-            # The RLE fill key packs (pos << 8 | byte) in uint32.
-            collapse = (match_total * 2 > prep["B"] * prep["out_size"]
-                        and prep["Ui_pad"] * prep["ob"] < (1 << 24))
+            collapse = self.auto_collapse(
+                match_total, prep["B"], prep["out_size"], prep["Ui_pad"],
+                prep["ob"])
         expand_cap = min(self._pow2(match_total + 64, 1 << 10),
                          self._pow2(cap_max))
         if all(ix.match_segs >= 0 for ix in indexes):

@@ -241,8 +241,15 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             bad2 = a2 & ~bad1 & (lbad2 | (sym2 > 255))
             aux1 = jnp.where(a1, -(sym1 + 1), SENTINEL).astype(adt)
             aux2 = jnp.where(a2 & ~bad1, -(sym2 + 1), SENTINEL).astype(adt)
-            attr_ref[0, :, pl.ds(2 * k, 2), :] = jnp.concatenate(
-                [aux1[:, None, :], aux2[:, None, :]], axis=1)
+
+            # guard the two-row store: with an oversized step bound (e.g.
+            # a caller-supplied k_static above the tile's halved bound)
+            # the clamped dynamic slice would otherwise overwrite the
+            # last real rows with SENTINEL
+            @pl.when(2 * k + 1 < ob)
+            def _store():
+                attr_ref[0, :, pl.ds(2 * k, 2), :] = jnp.concatenate(
+                    [aux1[:, None, :], aux2[:, None, :]], axis=1)
             bitrel = bitrel + jnp.where(
                 a1 & ~bad1,
                 ls1 + jnp.where(a2 & ~bad2, ls2, 0), 0)

@@ -68,6 +68,37 @@ def decode_stage(filtered: jnp.ndarray, *, delay: int, depth: int,
         bits=bits))(rows)
 
 
+def _palette_key_arrays(pixel, palettes, transparencies):
+    """Per-image palette / chroma-key batch arrays (shared by
+    :meth:`BatchCodec.decode` and :func:`decode_indexed`).
+
+    Returns ``(pal_arr (B, 256, 4) | None, key_arr (B, channels) |
+    None)`` — palettes carry tRNS alpha folded in (255 default); a key
+    of −1 never matches any raw sample (``PNG.RGBA.swift:259-366``).
+    """
+    B = len(transparencies)
+    if pixel.is_indexed:
+        pals = np.zeros((B, 256, 4), np.int32)
+        for b, (palette, transparency) in enumerate(
+                zip(palettes, transparencies)):
+            alphas = list(transparency.value) if transparency else []
+            for i, (r, g, bb) in enumerate(palette.entries):
+                pals[b, i] = (r, g, bb,
+                              alphas[i] if i < len(alphas) else 255)
+        return jnp.asarray(pals), None
+    if any(t is not None for t in transparencies):
+        keys = np.full((B, pixel.channels), -1, np.int32)
+        for b, transparency in enumerate(transparencies):
+            if transparency is None:
+                continue
+            if transparency.case == "v":
+                keys[b, 0] = transparency.value
+            else:
+                keys[b] = transparency.value
+        return None, jnp.asarray(keys)
+    return None, None
+
+
 @functools.partial(jax.jit, static_argnames=("delay",))
 def encode_stage(rows: jnp.ndarray, delay: int) -> jnp.ndarray:
     """Device encode: raw scanlines ``(B, H, pitch)`` → filtered scanlines
@@ -224,31 +255,9 @@ class BatchCodec:
         W, H = info["size"]
         pixel = info["pixel"]
         delay = (pixel.volume + 7) >> 3
-        pal_arr = key_arr = None
         is_indexed = pixel.is_indexed
-        B = len(images_png)
-        if is_indexed:
-            # per-image palettes with tRNS alpha folded, padded to 256
-            pals = np.zeros((B, 256, 4), np.int32)
-            for b, (palette, transparency) in enumerate(
-                    zip(info["palettes"], info["transparencies"])):
-                alphas = list(transparency.value) if transparency else []
-                for i, (r, g, bb) in enumerate(palette.entries):
-                    pals[b, i] = (r, g, bb,
-                                  alphas[i] if i < len(alphas) else 255)
-            pal_arr = jnp.asarray(pals)
-        elif any(t is not None for t in info["transparencies"]):
-            # per-image chroma key in raw sample units; −1 never matches
-            # (PNG.RGBA.swift:259-366)
-            keys = np.full((B, pixel.channels), -1, np.int32)
-            for b, transparency in enumerate(info["transparencies"]):
-                if transparency is None:
-                    continue
-                if transparency.case == "v":
-                    keys[b, 0] = transparency.value
-                else:
-                    keys[b] = transparency.value
-            key_arr = jnp.asarray(keys)
+        pal_arr, key_arr = _palette_key_arrays(
+            pixel, info["palettes"], info["transparencies"])
         from ..png.format import IOS
 
         # CgBI streams store bgr8/bgra8 byte order (PNG.Format.swift:
@@ -398,7 +407,10 @@ def decode_indexed(pngs: list[bytes], backend: str = "auto"):
             if type_ == chunks.IDAT:
                 idats.append(payload)
             elif type_ == chunks.spIx:
-                ix = CheckpointIndex.parse(payload)
+                try:
+                    ix = CheckpointIndex.parse(payload)
+                except ValueError:
+                    ix = None  # unknown version/shape: general path
             elif type_ == chunks.PLTE:
                 palette = parsing.Palette.parse(payload, header.pixel)
             elif type_ == chunks.tRNS:
@@ -430,25 +442,7 @@ def decode_indexed(pngs: list[bytes], backend: str = "auto"):
     B = len(pngs)
     delay = (pixel.volume + 7) >> 3
     pitch1 = 1 + ((W * pixel.volume + 7) >> 3)
-    pal_arr = key_arr = None
-    if pixel.is_indexed:
-        pa = np.zeros((B, 256, 4), np.int32)
-        for b, (palette, transparency) in enumerate(zip(pals, keys)):
-            alphas = list(transparency.value) if transparency else []
-            for i, (r, g, bb) in enumerate(palette.entries):
-                pa[b, i] = (r, g, bb,
-                            alphas[i] if i < len(alphas) else 255)
-        pal_arr = jnp.asarray(pa)
-    elif any(t is not None for t in keys):
-        ka = np.full((B, pixel.channels), -1, np.int32)
-        for b, transparency in enumerate(keys):
-            if transparency is None:
-                continue
-            if transparency.case == "v":
-                ka[b, 0] = transparency.value
-            else:
-                ka[b] = transparency.value
-        key_arr = jnp.asarray(ka)
+    pal_arr, key_arr = _palette_key_arrays(pixel, pals, keys)
     filtered = out.reshape(B, H, pitch1)
     return decode_stage(filtered, delay=delay, depth=pixel.depth,
                         channels=pixel.channels, width=W,
