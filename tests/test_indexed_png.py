@@ -94,3 +94,35 @@ def test_decode_indexed_wide_formats(kind):
     got = np.asarray(pixels)
     for i, im in enumerate(imgs):
         assert np.array_equal(got[i], im.unpack_rgba8()), (kind, i)
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
+def test_decode_indexed_pngsuite_sample():
+    """Corpus integration for the widened indexed path: a spread of real
+    PngSuite images (gray, palette, alpha, 16-bit, sub-byte) re-encoded
+    with an spIx index must decode bit-exact through decode_indexed."""
+    import os
+
+    import conftest
+
+    base = os.path.join(conftest.REFERENCE,
+                        "Sources/PNGIntegrationTests/Inputs/Common")
+    if not os.path.isdir(base):
+        pytest.skip("reference corpus unavailable")
+    names = ["basn0g01", "basn0g04", "basn0g08", "basn0g16", "basn2c08",
+             "basn2c16", "basn3p01", "basn3p04", "basn3p08", "basn4a08",
+             "basn4a16", "basn6a08", "basn6a16", "tbbn2c16", "tbyn3p08",
+             "s05n3p02", "f03n2c08", "g07n3p04"]
+    served = 0
+    for name in names:
+        img = png.Image.decompress_path(f"{base}/{name}.png")
+        blob = img.compress_bytes(level=6, index=True)
+        out = decode_indexed([blob, blob], backend="xla")
+        if out is None:
+            continue  # outside the fast path (e.g. tiny image, no index)
+        served += 1
+        got = np.asarray(out)
+        want = img.unpack_rgba8()
+        assert np.array_equal(got[0], want), name
+        assert np.array_equal(got[1], want), name
+    assert served >= 14, f"only {served} corpus files took the fast path"
