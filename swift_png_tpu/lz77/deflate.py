@@ -567,6 +567,12 @@ class RawDeflator:
         Mirrors ``DeflatorMatches.minimize/explore``
         (``…Matches.swift:265-379``) with the same adaptive ``Depths`` cost
         model and per-level refinement iterations.
+
+        This pure-Python tier is the bit-level ORACLE for the native and
+        device engines, not a production engine: it is O(n · edges ·
+        runlen) and impractical past ~64 KB inputs — production levels
+        8–13 route through ``native.deflate`` or
+        ``ops.deflate_optimal.deflate_device_optimal``.
         """
         data = self.data
         n = stop - start
