@@ -7,6 +7,7 @@ The reference ships its tooling as ``PNGInspection`` dumps and the
     python -m swift_png_tpu inspect  file.png
     python -m swift_png_tpu decode   file.png out.rgba   # rgba8 dump
     python -m swift_png_tpu recode   in.png out.png --level 9 [--index]
+    python -m swift_png_tpu index    in.png [out.png]    # add spIx only
     python -m swift_png_tpu gzip     in [out.gz] --level 9
     python -m swift_png_tpu gunzip   in.gz [out]
 
@@ -52,6 +53,66 @@ def _cmd_recode(args: argparse.Namespace) -> int:
     print(f"{args.file} ({os.path.getsize(args.file)} B) -> "
           f"{args.out} ({os.path.getsize(args.out)} B) at level "
           f"{args.level}{' +spIx' if args.index else ''}")
+    return 0
+
+
+def _cmd_index(args: argparse.Namespace) -> int:
+    """Add an ``spIx`` checkpoint index to an existing PNG without
+    recompressing: one host walk over the IDAT payload, every other
+    chunk copied byte-identical."""
+    import os
+
+    from .lz77.index import build_index
+    from .png import chunk as chunks
+    from .png.chunk import ByteDestination, ByteSource
+
+    with open(args.file, "rb") as f:
+        raw = f.read()
+    src = ByteSource(raw)
+    src.signature()
+    parts: list[tuple[str, bytes]] = []
+    idats: list[bytes] = []
+    type_ = None
+    while type_ != chunks.IEND:
+        type_, payload = src.chunk()
+        if type_ == chunks.IDAT:
+            idats.append(payload)
+        if type_ == chunks.spIx:
+            print(f"{args.file}: already indexed")
+            return 0
+        if type_ == chunks.CgBI:
+            print(f"{args.file}: iOS/CgBI stream — not indexable")
+            return 1
+        parts.append((type_, payload))
+    full = b"".join(idats)
+    if len(full) < 6:
+        print(f"{args.file}: no IDAT payload")
+        return 1
+    # decompressed size from IHDR geometry (scanline bytes incl. filter)
+    from .png import parsing
+
+    header = parsing.Header.parse(dict(parts)[chunks.IHDR], "common")
+    if header.interlaced:
+        print(f"{args.file}: interlaced — not indexable")
+        return 1
+    W, H = header.size
+    out_size = H * (1 + ((W * header.pixel.volume + 7) >> 3))
+    ix = build_index(full[2:-4], out_size, args.ob)
+    if ix is None:
+        print(f"{args.file}: stream outside the index's structural "
+              "limits — left unchanged")
+        return 1
+    dst = ByteDestination()
+    dst.signature()
+    for type_, payload in parts:
+        if type_ == chunks.IEND:
+            dst.format(chunks.spIx, ix.serialize())
+        dst.format(type_, payload)
+    out = args.out or args.file
+    with open(out, "wb") as f:
+        f.write(b"".join(dst.chunks))
+    print(f"{args.file} -> {out} (+spIx, {len(ix.serialize())} B, "
+          f"ob={args.ob}, {os.path.getsize(out)} B total)")
     return 0
 
 
@@ -101,6 +162,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", action="store_true",
                    help="embed the spIx checkpoint decode index")
     s.set_defaults(fn=_cmd_recode)
+
+    s = sub.add_parser(
+        "index", help="add an spIx decode index without recompressing")
+    s.add_argument("file")
+    s.add_argument("out", nargs="?")
+    s.add_argument("--ob", type=int, default=256,
+                   help="output bytes per checkpoint unit")
+    s.set_defaults(fn=_cmd_index)
 
     s = sub.add_parser("gzip", help="compress with the LZ77 product")
     s.add_argument("file")

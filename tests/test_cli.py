@@ -58,3 +58,27 @@ def test_gzip_roundtrip(png_file, tmp_path):
     blob = open(gz, "rb").read()
     assert blob[:2] == b"\x1f\x8b"
     assert zlib.decompress(blob[10:], -15) == open(png_file, "rb").read()
+
+
+def test_index_existing_png(png_file, tmp_path):
+    """`index` adds an spIx chunk to a foreign-encoder PNG without
+    recompressing; the result decodes bit-exact on both paths."""
+    import numpy as np
+
+    from swift_png_tpu.parallel.batch import decode_indexed
+
+    out = str(tmp_path / "ixd.png")
+    rc = main(["index", png_file, out])
+    want = Image.decompress_path(png_file).unpack_rgba8()
+    if rc != 0:
+        return  # stream legitimately outside the index's limits
+    blob = open(out, "rb").read()
+    assert b"spIx" in blob
+    # standard decode unchanged
+    assert (Image.decompress_path(out).unpack_rgba8() == want).all()
+    # the indexed device path serves it
+    got = decode_indexed([blob], backend="xla")
+    if got is not None:
+        assert np.array_equal(np.asarray(got)[0], want)
+    # idempotent
+    assert main(["index", out]) == 0
