@@ -124,6 +124,7 @@ def main() -> None:
     prep = eng.prepare(bodies, indexes)
     expand_cap = eng._pow2(sum(ix.match_bytes for ix in indexes) + 64,
                            1 << 10)
+    seg_cap = eng._pow2(sum(ix.match_segs for ix in indexes) + 64, 1 << 10)
 
     def inflate():
         if eng.backend == "pallas":
@@ -131,7 +132,7 @@ def main() -> None:
                 prep["kbound"], prep["spans3"], prep["meta"],
                 prep["tabs"], prep["symtab"], ob=OB, n_streams=B,
                 out_size=out_size, expand_cap=expand_cap,
-                S=prep["S"], interpret=not on_tpu)
+                S=prep["S"], interpret=not on_tpu, seg_cap=seg_cap)
         from swift_png_tpu.ops.inflate_checkpoint import inflate_indexed
 
         return inflate_indexed(
@@ -219,6 +220,7 @@ def main() -> None:
         sprep = eng.prepare(sbodies, sixs)
         smatch = sum(ix.match_bytes for ix in sixs)
         scap = eng._pow2(smatch + 64, 1 << 10)
+        sseg = eng._pow2(sum(ix.match_segs for ix in sixs) + 64, 1 << 10)
         scol = CheckpointInflator.auto_collapse(
             smatch, Bs, out_size, sprep["Ui_pad"], OB)
 
@@ -227,7 +229,7 @@ def main() -> None:
                 sprep["kbound"], sprep["spans3"], sprep["meta"],
                 sprep["tabs"], sprep["symtab"], ob=OB, n_streams=Bs,
                 out_size=out_size, expand_cap=scap, S=sprep["S"],
-                interpret=not on_tpu, collapse=scol)
+                interpret=not on_tpu, collapse=scol, seg_cap=sseg)
 
         sout, sflag, sadler, _ = sinflate()
         assert int(np.asarray(sflag).max()) == 0

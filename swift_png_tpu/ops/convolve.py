@@ -128,6 +128,17 @@ def unpack_rgba(rows: jnp.ndarray, *, depth: int, channels: int, width: int,
                 has_key: bool = False, palette: jnp.ndarray | None = None,
                 key: jnp.ndarray | None = None, bits: int = 8) -> jnp.ndarray:
     """Defiltered rows → ``(H, width, 4)`` RGBA at ``bits`` precision."""
+    # rgba8/bgra8 fast path: a pure uint8 reshape (plus a channel swizzle
+    # for bgr).  The general path routes through (H, W, C) int32 tensors
+    # whose minor dimension of 3/4 uses 4 of 128 lanes — measured 35 ms
+    # for what is logically a no-op on the bench shapes.
+    if (depth == 8 and bits == 8 and channels == 4 and not is_indexed
+            and not has_key):
+        H = rows.shape[0]
+        px = rows[:, : width * 4].reshape(H, width, 4)
+        if is_bgr:
+            px = px[..., jnp.array([2, 1, 0, 3])]
+        return px
     raw = samples_from_rows(rows, depth, channels, width)
     return samples_to_rgba(raw, depth=depth, channels=channels,
                            is_bgr=is_bgr, is_indexed=is_indexed,

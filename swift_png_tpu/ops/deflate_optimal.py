@@ -653,9 +653,10 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
                      bpp: int = 4, interpret: bool = False):
     """Device part of the optimal-parse deflate: candidates → iterated DP
     → packed bitstream atoms.  Returns ``(atoms, total_bits, lit_l,
-    dist_l, valid_flat)`` with ``atoms``/``total_bits`` still on device —
-    the bench times this (plus a scalar sync) as the per-chip encode
-    number; host assembly/IO happens in :func:`deflate_device_optimal`.
+    dist_l, n_terms)`` with ``atoms``/``total_bits``/``n_terms`` still on
+    device — the bench times this (plus a scalar sync) as the per-chip
+    encode number; host assembly/IO happens in
+    :func:`deflate_device_optimal`.
 
     The ``Depths`` cost model is warm-started from the same native sample
     pass that seeds the distance menu, replacing the generic-start
@@ -704,16 +705,43 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
         if it + 1 < iters:
             depths.update(lit_l, dist_l)
 
-    # emit: single dynamic block, device bit packing
+    # emit: single dynamic block, device bit packing.  Only ~1/16 of the
+    # (Tc·NB·128) positions hold a live term (most bytes sit inside a
+    # match or behind a longer literal run), so the terms are compacted
+    # first — the DP histogram gives the exact term count for free (one
+    # row-0…287 entry per term), and pack_terms/pack_bits then touch
+    # n_terms elements instead of the full position grid (measured
+    # 164 ms → ~25 ms on the 1 MB bench image).
     from .deflate import _emit_tables, pack_terms, pack_bits
 
-    terms_flat = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
-    valid_flat = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
+    n_terms = int(freq[:288].sum()) - 1          # minus the injected EOB
+    cap = max(512, 1 << (n_terms + 8 - 1).bit_length())
+    ctms, count = _compact_terms(terms, valid, cap=cap)
     tables = _emit_tables(lit_l, dist_l)
     lanes, nbits = pack_terms(
-        jax.lax.bitcast_convert_type(terms_flat, jnp.uint32), *tables)
-    atoms, total = pack_bits(lanes, nbits, valid_flat)
-    return atoms, total, lit_l, dist_l, valid_flat
+        jax.lax.bitcast_convert_type(ctms, jnp.uint32), *tables)
+    valid_c = jnp.arange(cap, dtype=jnp.int32) < count
+    atoms, total = pack_bits(lanes, nbits, valid_c)
+    return atoms, total, lit_l, dist_l, count
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_terms(terms, valid, *, cap: int):
+    """Order-preserving compaction of the DP kernel's term grid.
+
+    ``terms``/``valid``: ``(Tc, NB, 128)`` int32 at chunk-end positions.
+    Returns ``(ctms (cap,) int32 stream-ordered, count)``.
+    """
+    from .inflate_checkpoint import _cumsum_mxu
+
+    tf = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
+    vf = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
+    pos = _cumsum_mxu(vf.astype(jnp.int32)) - 1
+    keep = vf & (pos < cap)
+    ctms = jnp.zeros(cap, jnp.int32).at[
+        jnp.where(keep, pos, cap)
+    ].set(jnp.where(keep, tf, 0), mode="drop")
+    return ctms, jnp.sum(vf.astype(jnp.int32))
 
 
 def deflate_device_optimal(data: bytes, level: int = 9,
@@ -751,9 +779,14 @@ def deflate_device_optimal(data: bytes, level: int = 9,
         out.pad_to_byte()
         return bytes(out.drain()) + adler32(data).to_bytes(4, "big")
 
-    atoms, total, lit_l, dist_l, valid_flat = optimal_pipeline(
+    atoms, total, lit_l, dist_l, count = optimal_pipeline(
         data, level=level, pitch=pitch, bpp=bpp, interpret=interpret)
-    body = atoms_to_bytes(np.asarray(atoms), int(total))
+    # fetch only the live atoms, as uint16 — atoms are 16-bit values and
+    # the tunnel runs at ~10 MB/s (an unsliced int32 fetch measured 2.9 s
+    # for a 1 MB image's padded grid)
+    na = (int(total) + 15) // 16 + 1
+    body = atoms_to_bytes(
+        np.asarray(atoms[:na].astype(jnp.uint16)), int(total))
     _write_block_header_and_tables(out, lit_l, dist_l, True)
     _append_bits(out, body, int(total))
     lit_codes = canonical_codes(np.asarray(lit_l, np.int64))
@@ -762,7 +795,7 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     out.pad_to_byte()
     stream = bytes(out.drain()) + adler32(data).to_bytes(4, "big")
     if return_parts:
-        return stream, np.asarray(valid_flat).sum()
+        return stream, int(np.asarray(count))
     return stream
 
 

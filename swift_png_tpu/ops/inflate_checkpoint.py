@@ -361,7 +361,7 @@ def _fill_rle(out, m1, B, Opad):
 
 
 def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
-            collapse_shape=None):
+            collapse_shape=None, chase: str = "heavy"):
     """Compacted pointer-doubling expansion of LZ77 back-references.
 
     Compaction is two-level (measured: a flat N-sized scatter cost ~31 ms
@@ -430,12 +430,13 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
     p = ptr_pad[jnp.clip(cidx, 0, N)]
 
-    # light path: a bounded single-step chase over the compacted set —
-    # literal-heavy content has chains a handful deep (measured 1-6 on
-    # filtered photographic data), resolved at expand_cap-sized gathers
-    # per round.  Skipped statically when the compacted set is at least
-    # half the output (match-dominated content has deep chains; the
-    # light rounds would be pure waste before the doubling path).
+    # light path (chase="light", non-default): a bounded single-step
+    # chase over the compacted set.  Measured on chip: even for shallow
+    # chains (depth 1-6 on filtered photographic data) the doubling path
+    # converges in ~log2(depth)+1 rounds and wins — whole-tail 124.9 ms
+    # light vs 97.7 ms heavy at B=32 — so "heavy" is the default and
+    # this branch exists for A/B comparison.  Skipped statically when
+    # the compacted set is at least half the output.
     def e_cond(st):
         _, i, changed = st
         return changed & (i < 12)
@@ -445,7 +446,7 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
         nxt = ptr_pad[jnp.clip(p, 0, N)]
         return nxt, i + 1, jnp.any(nxt != p)
 
-    if expand_cap < (N >> 1):
+    if chase == "light" and expand_cap < (N >> 1):
         p, _, unresolved = jax.lax.while_loop(
             e_cond, e_body, (p, jnp.int32(0), jnp.bool_(True)))
     else:
@@ -531,6 +532,51 @@ def _modsum(x, chunk: int = 4096):
     return _mod65521(x.sum(axis=-1))
 
 
+def _segment_sums_mod(mv, prod, sid, valid, B):
+    """Per-stream sums (mod 65521) of the match-byte corrections.
+
+    A per-stream masked-reduction loop costs ``2·B`` dense passes over
+    the compacted set (measured ~17 ms at B=32, cap 2^18); instead the
+    values are bit-split so each part's segment sum stays exact in f32,
+    and ONE MXU matmul against the stream one-hot does all streams at
+    once.  ``mv`` < 2^8 and ``prod`` < 2^16; part width ``w`` is chosen
+    so ``cap · (2^w - 1) < 2^24`` (f32 exact-integer range).  Falls back
+    to the loop when the cap is so large that ``w`` < 4 (match-heavy
+    content routes through ``_adler_batch`` instead anyway).
+    """
+    cap = mv.shape[0]
+    w = 0
+    while cap * ((1 << (w + 1)) - 1) < (1 << 24) and w < 16:
+        w += 1
+    if w < 4:
+        a_cor = jnp.stack([_modsum(jnp.where(sid == s, mv, 0))
+                           for s in range(B)])
+        s2_cor = jnp.stack([_modsum(jnp.where(sid == s, prod, 0))
+                            for s in range(B)])
+        return a_cor, s2_cor
+    parts = []
+    weights = []
+    for base, bits in ((mv, 8), (prod, 16)):
+        nparts = -(-bits // w)
+        for i in range(nparts):
+            parts.append((base >> (w * i)) & ((1 << w) - 1))
+            weights.append((1 << (w * i)) % 65521)
+    P = len(parts)
+    nmv = -(-8 // w)
+    lhs = jnp.stack(parts).astype(jnp.float32)            # (P, cap)
+    onehot = (sid[:, None] == jnp.arange(B, dtype=jnp.int32)[None, :]
+              ) & valid[:, None]
+    sums = jax.lax.dot_general(
+        lhs, onehot.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (P, B) exact
+    sums = _mod65521(sums.astype(jnp.int32))
+    wv = jnp.asarray(weights, jnp.int32)[:, None]
+    terms = _mulmod(jnp.broadcast_to(wv, (P, B)), sums)   # (P, B)
+    a_cor = _mod65521(jnp.sum(terms[:nmv], axis=0))
+    s2_cor = _mod65521(jnp.sum(terms[nmv:], axis=0))
+    return a_cor, s2_cor
+
+
 def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
     """Combine per-unit literal partials + match-byte corrections.
 
@@ -554,10 +600,7 @@ def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
     wm = _mod65521(out_size - p_local)
     prod = jnp.where(valid, _mod65521(wm * mval), 0)
     mv = jnp.where(valid, mval, 0)
-    a_cor = jnp.stack([_modsum(jnp.where(sid == s, mv, 0))
-                       for s in range(B)])
-    s2_cor = jnp.stack([_modsum(jnp.where(sid == s, prod, 0))
-                        for s in range(B)])
+    a_cor, s2_cor = _segment_sums_mod(mv, prod, sid, valid, B)
     s1 = _mod65521(1 + a_lit + a_cor)
     s2 = _mod65521((out_size % 65521) + s2_lit + s2_cor)
     return (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
@@ -567,7 +610,8 @@ def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
                                              "expand_cap", "S",
                                              "interpret", "attr16",
                                              "seg_cap", "multiblock",
-                                             "has_stored", "collapse"))
+                                             "has_stored", "collapse",
+                                             "chase"))
 def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            ob: int, n_streams: int, out_size: int,
                            expand_cap: int, S: int,
@@ -575,7 +619,8 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            seg_cap: int | None = None,
                            multiblock: bool = False,
                            has_stored: bool = False,
-                           stored_gap=None, collapse: bool = False):
+                           stored_gap=None, collapse: bool = False,
+                           chase: str = "heavy"):
     """Indexed inflate with the Pallas decode+stamp kernel.
 
     Same contract as :func:`inflate_indexed`; the token decode,
@@ -646,7 +691,7 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
 
     out, ovf, cidx, src = _expand(
         ptr, litv, expand_cap, seg_cap,
-        collapse_shape=(B, Opad) if collapse else None)
+        collapse_shape=(B, Opad) if collapse else None, chase=chase)
     out2 = out[:U_live * ob].reshape(B, Opad)
     if collapse:
         # cidx/src cover only d>=2 bytes here (RLE bytes were value-

@@ -219,51 +219,60 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
             return ls, sym, lbad
 
-        def lit_body(k, carry):
+        def lit_body(k4, carry):
             # all-literal units (host-proved: n_tokens == owned is only
             # possible when every token is a 1-byte literal): the output
             # cursor IS the step index, so the tail stamp collapses to a
             # dynamic-row store, and there is no distance decode.  Each
-            # step decodes TWO literals — they consume <= 30 bits, which
-            # both fit the same 32-bit window and still slide the
+            # sub-step decodes TWO literals — they consume <= 30 bits,
+            # which both fit the same 32-bit window and still slide the
             # two-word register window by at most one word (one refill
-            # pick per pair instead of one per token).
+            # pick per pair).  FOUR pairs run per iteration so the store
+            # is one aligned 8-row strip — int16 stamps need sublane
+            # offsets provably divisible by 8 (Mosaic rejects the 2-row
+            # store in i16 mode on hardware).
             bitrel, flag, w0, w1 = carry
-            a1 = 2 * k < owned
-            a2 = 2 * k + 1 < owned
-            wq = bitrel >> 5
-            sub = (bitrel & 31).astype(jnp.uint32)
-            win = (w0 >> sub) | jnp.where(
-                sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
-            ls1, sym1, lbad1 = _lit_decode(win)
-            ls2, sym2, lbad2 = _lit_decode(win >> ls1.astype(jnp.uint32))
-            bad1 = a1 & (lbad1 | (sym1 > 255))
-            bad2 = a2 & ~bad1 & (lbad2 | (sym2 > 255))
-            aux1 = jnp.where(a1, -(sym1 + 1), SENTINEL).astype(adt)
-            aux2 = jnp.where(a2 & ~bad1, -(sym2 + 1), SENTINEL).astype(adt)
+            rows = []
+            for p in range(4):
+                k = 4 * k4 + p
+                a1 = 2 * k < owned
+                a2 = 2 * k + 1 < owned
+                wq = bitrel >> 5
+                sub = (bitrel & 31).astype(jnp.uint32)
+                win = (w0 >> sub) | jnp.where(
+                    sub == 0, jnp.uint32(0), w1 << ((32 - sub) & 31))
+                ls1, sym1, lbad1 = _lit_decode(win)
+                ls2, sym2, lbad2 = _lit_decode(
+                    win >> ls1.astype(jnp.uint32))
+                bad1 = a1 & (lbad1 | (sym1 > 255))
+                bad2 = a2 & ~bad1 & (lbad2 | (sym2 > 255))
+                rows.append(jnp.where(a1, -(sym1 + 1),
+                                      SENTINEL).astype(adt)[:, None, :])
+                rows.append(jnp.where(a2 & ~bad1, -(sym2 + 1),
+                                      SENTINEL).astype(adt)[:, None, :])
+                bitrel = bitrel + jnp.where(
+                    a1 & ~bad1,
+                    ls1 + jnp.where(a2 & ~bad2, ls2, 0), 0)
+                flag = flag | jnp.where(bad1 | bad2, 1, 0)
+                # refill: two literals consume <= 30 bits, so the window
+                # slides by at most one word per pair
+                new_wq = bitrel >> 5
+                d2 = iota_s - new_wq[:, None, :]
+                p1 = jax.lax.bitcast_convert_type(
+                    jnp.sum(jnp.where(d2 == 1, spans, 0), axis=1),
+                    jnp.uint32)
+                sh = new_wq > wq
+                w0, w1 = jnp.where(sh, w1, w0), jnp.where(sh, p1, w1)
 
-            # guard the two-row store: with an oversized step bound (e.g.
-            # a caller-supplied k_static above the tile's halved bound)
-            # the clamped dynamic slice would otherwise overwrite the
-            # last real rows with SENTINEL
-            @pl.when(2 * k + 1 < ob)
+            # guard the strip store: with an oversized step bound (e.g. a
+            # caller-supplied k_static above the tile's bound) the
+            # clamped dynamic slice would otherwise overwrite the last
+            # real rows with SENTINEL
+            @pl.when(8 * k4 + 7 < ob)
             def _store():
-                attr_ref[0, :, pl.ds(2 * k, 2), :] = jnp.concatenate(
-                    [aux1[:, None, :], aux2[:, None, :]], axis=1)
-            bitrel = bitrel + jnp.where(
-                a1 & ~bad1,
-                ls1 + jnp.where(a2 & ~bad2, ls2, 0), 0)
-            flag = flag | jnp.where(bad1 | bad2, 1, 0)
-            # refill: two literals consume <= 30 bits, so the window
-            # slides by at most one word per step
-            new_wq = bitrel >> 5
-            d2 = iota_s - new_wq[:, None, :]
-            p1 = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(d2 == 1, spans, 0), axis=1), jnp.uint32)
-            sh = new_wq > wq
-            w0n = jnp.where(sh, w1, w0)
-            w1n = jnp.where(sh, p1, w1)
-            return bitrel, flag, w0n, w1n
+                attr_ref[0, :, pl.ds(8 * k4, 8), :] = jnp.concatenate(
+                    rows, axis=1)
+            return bitrel, flag, w0, w1
 
         def make_body(pair):
             def body(k, carry):
@@ -468,8 +477,9 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
 
         @pl.when(mode == 1)
         def _lit_tile():
-            # every live unit in this tile is all-literal: cursor == 2·step
-            fin = jax.lax.fori_loop(0, kb, lit_body,
+            # every live unit in this tile is all-literal; the bound kb
+            # counts literal PAIRS and each iteration consumes four
+            fin = jax.lax.fori_loop(0, (kb + 3) >> 2, lit_body,
                                     (bitrel0, flag0) + w_init[:2],
                                     unroll=unroll)
             flag_ref[...] = fin[1]

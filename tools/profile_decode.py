@@ -57,6 +57,7 @@ def main() -> None:
     prep = eng.prepare(bodies, indexes)
     expand_cap = eng._pow2(sum(ix.match_bytes for ix in indexes) + 64,
                            1 << 10)
+    seg_cap = eng._pow2(sum(ix.match_segs for ix in indexes) + 64, 1 << 10)
     print(f"B={B} S={prep['S']} tiles={prep['spans3'].shape[0]} "
           f"expand_cap={expand_cap}", flush=True)
 
@@ -79,17 +80,22 @@ def main() -> None:
                 prep["symtab"], S=prep["S"], ob=OB, interpret=not on_tpu,
                 attr16=a16)
 
-        r = kern()
-        t = tmin(kern, lambda r: float(np.asarray(r[1])[0, 0]))
-        print(f"kernel attr16={int(a16)} {t*1e3:8.1f} ms  "
-              f"{nbytes/t/1e9:6.3f} GB/s", flush=True)
+        try:
+            r = kern()
+            t = tmin(kern, lambda r: float(np.asarray(r[1])[0, 0]))
+            print(f"kernel attr16={int(a16)} {t*1e3:8.1f} ms  "
+                  f"{nbytes/t/1e9:6.3f} GB/s", flush=True)
+        except Exception as e:
+            print(f"kernel attr16={int(a16)} FAILED: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
 
     # 2. full inflate
     def inf():
         return inflate_indexed_pallas(
             prep["kbound"], prep["spans3"], prep["meta"], prep["tabs"],
             prep["symtab"], ob=OB, n_streams=B, out_size=out_size,
-            expand_cap=expand_cap, S=prep["S"], interpret=not on_tpu)
+            expand_cap=expand_cap, S=prep["S"], interpret=not on_tpu,
+            seg_cap=seg_cap)
 
     out, flag, adler, ovf = inf()
     assert int(np.asarray(flag).max()) == 0

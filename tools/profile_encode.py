@@ -46,13 +46,12 @@ def main():
         for _ in range(reps):
             t0 = time.perf_counter()
             r = fn()
-            jax.block_until_ready(r) if hasattr(r, "block_until_ready") \
-                else None
-            # force sync through a scalar fetch
+            # force sync through a scalar fetch — slice ON DEVICE first
+            # (np.asarray on the whole leaf would pull it through the
+            # ~10-100 MB/s tunnel and time the transfer, not the compute)
             try:
-                np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
-                _ = float(np.asarray(
-                    jax.tree_util.tree_leaves(r)[0]).reshape(-1)[0])
+                leaf = jax.tree_util.tree_leaves(r)[0]
+                _ = float(np.asarray(leaf.reshape(-1)[:1])[0])
             except Exception:
                 pass
             best = min(best, time.perf_counter() - t0)
