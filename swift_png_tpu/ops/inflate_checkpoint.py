@@ -387,6 +387,30 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     from ..lz77.index import MATCH_SEG as SEG
 
     N = ptr.shape[0]
+    if collapse_shape is not None and expand_cap >= (N >> 1):
+        # identity-slot mode for match-DOMINATED content (smooth/RLE
+        # images, match set ≈ the whole output): compacting buys nothing
+        # — the pow2-padded slot set would be up to 2× the output — so
+        # chase by pointer doubling over the flat array directly.  After
+        # the collapse every pointer strictly decreases (literals are
+        # fixpoints, RLE hops to the nearest non-RLE byte, within-run
+        # chains are closed-form), so p ← p[p] converges in
+        # ~log2(depth) rounds and the final values are one dense gather.
+        ptr, _m1 = _collapse_ptr(ptr)
+
+        def i_cond(st):
+            _, ch = st
+            return ch
+
+        def i_body(st):
+            p, _ = st
+            nxt = p[p]
+            return nxt, jnp.any(nxt != p)
+
+        p, _ = jax.lax.while_loop(i_cond, i_body, (ptr, jnp.bool_(True)))
+        out = litv[p]
+        dummy = jnp.full(1, N, jnp.int32)
+        return out, jnp.bool_(False), dummy, jnp.zeros(1, jnp.uint8)
     if collapse_shape is not None:
         Bc, Opadc = collapse_shape
         ptr, m1 = _collapse_ptr(ptr)
@@ -399,13 +423,9 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
         seg_cap = min(nseg, expand_cap)
     seg_cap = min(seg_cap, nseg)
 
-    ptr2d = jnp.pad(ptr, (0, Np - N + SEG),
-                    constant_values=0)  # +1 sentinel row
-    ptr2d = (ptr2d.at[N:].set(jnp.arange(N, Np + SEG, dtype=jnp.int32))
-             .reshape(nseg + 1, SEG))
-    segm = is_m.astype(jnp.int32)
-    segm = jnp.pad(segm, (0, Np - N)).reshape(nseg, SEG)
-    seg_has = jnp.sum(segm, axis=1) > 0
+    segm = jnp.pad(is_m.astype(jnp.uint8),
+                   (0, Np - N)).reshape(nseg, SEG)
+    seg_has = jnp.sum(segm.astype(jnp.int32), axis=1) > 0
     cs = _cumsum_mxu(seg_has.astype(jnp.int32))
     spos = cs - 1
     keep = seg_has & (spos < seg_cap)
@@ -415,11 +435,16 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
           mode="drop")
     seg_ovf = jnp.sum(seg_has.astype(jnp.int32)) > seg_cap
 
-    # gather live segments (row gather — DMA-like, not element-priced)
-    gptr = ptr2d[seg_ids]                               # (seg_cap, SEG)
+    # gather the live segments' match FLAGS, not their pointers: the row
+    # gather is the expansion's biggest fixed term and uint8 rows move
+    # 4× less than int32 (the pointers themselves are only ever read
+    # through the compacted ``cidx`` gather below)
+    segm_p = jnp.concatenate(
+        [segm, jnp.zeros((1, SEG), jnp.uint8)])        # sentinel row
+    gism = segm_p[seg_ids]                              # (seg_cap, SEG) u8
     gidx = (seg_ids[:, None] * SEG
             + jnp.arange(SEG, dtype=jnp.int32)[None, :])
-    flat_m = (gptr != gidx).reshape(-1)
+    flat_m = gism.reshape(-1) != 0
     gidx = gidx.reshape(-1)
     cs2 = _cumsum_mxu(flat_m.astype(jnp.int32))
     pos2 = cs2 - 1

@@ -408,23 +408,36 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 # so stamping the whole tail [cur, ob) is correct — later
                 # tokens overwrite it; bytes past the last token stay
                 # SENTINEL and are caught by the coverage checks
-                # downstream
+                # downstream.  The stamp's VMEM read+write is the
+                # kernel's dominant term, so it is gated per 64-row
+                # segment on the TILE-WIDE minimum cursor: rows below
+                # min(start) are untouched by every lane this step, and
+                # as cursors advance the average stamped span halves.
                 start = jnp.where(active & (tl > 0), cur, ob)  # ob => no-op
-                # mask compare stays int32 (Mosaic lacks ordered i16
-                # cmps); the stamped values are int16 — half the
-                # read+write traffic
-                mask = iota_b >= start[:, None, :]
                 if pair:
-                    # the absorbed literal lands right after this token's
-                    # span: rows >= start + tl take its value
-                    m2 = (take2[:, None, :]
-                          & (iota_b >= (start + tl)[:, None, :]))
-                    val = jnp.where(m2, aux2[:, None, :], aux[:, None, :])
-                    attr_ref[0] = jnp.where(mask, val, attr_ref[0])
+                    start2 = jnp.where(take2, start + tl, ob)
                     tl = tl + jnp.where(take2, 1, 0)
-                else:
-                    attr_ref[0] = jnp.where(mask, aux[:, None, :],
-                                            attr_ref[0])
+                smin = jnp.min(start)
+
+                def _stamp_seg(q, seg):
+                    sl = pl.ds(q * seg, seg)
+                    rows = iota_b[:, q * seg:(q + 1) * seg]
+                    mask = rows >= start[:, None, :]
+                    if pair:
+                        m2 = rows >= start2[:, None, :]
+                        val = jnp.where(m2, aux2[:, None, :],
+                                        aux[:, None, :])
+                    else:
+                        val = aux[:, None, :]
+                    attr_ref[0, :, sl] = jnp.where(
+                        mask, val, attr_ref[0, :, sl])
+
+                SEGQ = 64
+                for q in range(ob // SEGQ):
+
+                    @pl.when(smin < (q + 1) * SEGQ)
+                    def _(q=q):
+                        _stamp_seg(q, SEGQ)
                 step = step1
                 if pair:
                     step = jnp.where(take2, step1 + ls2, step)
