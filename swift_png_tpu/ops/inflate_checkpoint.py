@@ -435,25 +435,30 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
           mode="drop")
     seg_ovf = jnp.sum(seg_has.astype(jnp.int32)) > seg_cap
 
-    # gather the live segments' match FLAGS, not their pointers: the row
-    # gather is the expansion's biggest fixed term and uint8 rows move
-    # 4× less than int32 (the pointers themselves are only ever read
-    # through the compacted ``cidx`` gather below)
-    segm_p = jnp.concatenate(
-        [segm, jnp.zeros((1, SEG), jnp.uint8)])        # sentinel row
-    gism = segm_p[seg_ids]                              # (seg_cap, SEG) u8
+    # gather the live segments' POINTER rows (row gathers are per-row
+    # priced — measured ~100 ns/row regardless of width — so the values
+    # ride along for free) and compact positions AND pointers in one
+    # scatter pass: the first chase hop then needs no gather at all
+    # (``ptr_pad[cidx]`` was a ~8 ms random gather into the full array)
+    ptr2d = jnp.pad(ptr, (0, Np - N + SEG),
+                    constant_values=0)  # +1 sentinel row
+    ptr2d = (ptr2d.at[N:].set(jnp.arange(N, Np + SEG, dtype=jnp.int32))
+             .reshape(nseg + 1, SEG))
+    gptr = ptr2d[seg_ids]                               # (seg_cap, SEG)
     gidx = (seg_ids[:, None] * SEG
             + jnp.arange(SEG, dtype=jnp.int32)[None, :])
-    flat_m = gism.reshape(-1) != 0
+    flat_m = (gptr != gidx).reshape(-1)
     gidx = gidx.reshape(-1)
+    gp = gptr.reshape(-1)
     cs2 = _cumsum_mxu(flat_m.astype(jnp.int32))
     pos2 = cs2 - 1
     keep2 = flat_m & (pos2 < expand_cap)
-    cidx = jnp.full(expand_cap, N, jnp.int32).at[
-        jnp.where(keep2, pos2, expand_cap)  # out-of-bounds ⇒ dropped
-    ].set(jnp.where(keep2, gidx, N), mode="drop")
+    tgt = jnp.where(keep2, pos2, expand_cap)  # out-of-bounds ⇒ dropped
+    cidx = jnp.full(expand_cap, N, jnp.int32).at[tgt].set(
+        jnp.where(keep2, gidx, N), mode="drop")
+    p = jnp.full(expand_cap, N, jnp.int32).at[tgt].set(
+        jnp.where(keep2, gp, N), mode="drop")
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
-    p = ptr_pad[jnp.clip(cidx, 0, N)]
 
     # light path (chase="light", non-default): a bounded single-step
     # chase over the compacted set.  Measured on chip: even for shallow

@@ -27,6 +27,28 @@ os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 REFERENCE = "/root/reference"
 
+import pytest  # noqa: E402
+
+_TESTS_RUN = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    """Work around an XLA:CPU compile-accumulation crash.
+
+    This environment's jaxlib segfaults/aborts inside
+    ``backend_compile_and_load`` after a few hundred CPU compilations in
+    one process (reproduced 4×; the crash follows TOTAL compile count,
+    not any specific test — reordering the files moves it to a different
+    test at the same accumulated depth).  Dropping the executable caches
+    periodically releases the compiler's accumulated state before the
+    threshold; re-compiles are cheap on CPU.
+    """
+    yield
+    _TESTS_RUN["n"] += 1
+    if _TESTS_RUN["n"] % 40 == 0:
+        jax.clear_caches()
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE)
