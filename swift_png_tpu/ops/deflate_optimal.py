@@ -455,6 +455,52 @@ def _rep128(v: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.repeat(v[:, None], 128, axis=1).astype(np.int32))
 
 
+_RD_OF_L = np.array([int(C.RUN_DECADE[L]) for L in range(3, 259)], np.int32)
+_REX_OF_L = np.array([int(C.RUN_EXTRA[_RD_OF_L[i]])
+                      for i in range(256)], np.int32)
+_DEX = np.zeros(32, np.int32)
+_DEX[:30] = C.DISTANCE_EXTRA[:30]
+
+
+@jax.jit
+def _device_depths_update(hist, dep_lit, runcost, ddep):
+    """On-device ``Depths.update`` for the INTERMEDIATE DP iterations.
+
+    The host path fetches the histogram (~30 ms tunnel round trip),
+    package-merges a tree, and re-uploads quarter-bit cost tables per
+    iteration.  Between iterations the DP only needs *costs*, not a
+    valid emittable code, so fractional entropy costs
+    ``-4·log2(freq/total)`` (clipped to the same [4, 60] quarter-bit
+    range, zero-frequency symbols keeping their previous cost — the
+    reference's update semantics, ``…Matches.Depths.swift:53-97``)
+    stand in for tree lengths with no host round trip.  The FINAL
+    iteration still fetches the histogram once and builds the real
+    canonical trees on host.
+    """
+    litf = hist[:286].astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(litf), 1.0)
+    q = jnp.clip(jnp.round(
+        -4.0 * jnp.log2(jnp.maximum(litf, 0.5) / total)), 4, 60
+    ).astype(jnp.int32)
+    dep_lit2 = jnp.where(hist[:256] > 0, q[:256], dep_lit)
+    rd = jnp.asarray(_RD_OF_L)
+    qrun = q[257:286][rd] + 4 * jnp.asarray(_REX_OF_L)
+    runcost2 = jnp.where(hist[257 + rd] > 0, qrun, runcost)
+    distf = jnp.concatenate(
+        [hist[288:318], jnp.zeros(2, hist.dtype)]).astype(jnp.float32)
+    dtotal = jnp.maximum(jnp.sum(distf), 1.0)
+    dq = jnp.clip(jnp.round(
+        -4.0 * jnp.log2(jnp.maximum(distf, 0.5) / dtotal)), 4, 60
+    ).astype(jnp.int32) + 4 * jnp.asarray(_DEX)
+    ddep2 = jnp.where(distf > 0, dq, ddep)
+    return dep_lit2, runcost2, ddep2
+
+
+@jax.jit
+def _rep128_dev(v):
+    return jnp.broadcast_to(v[:, None], (v.shape[0], 128)).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # the DP kernel
 # ---------------------------------------------------------------------------
@@ -691,19 +737,29 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
         depths.update(lengths_from_frequencies(lit_f, 15, force=True),
                       lengths_from_frequencies(dist_f, 15, force=False))
     iters = max(1, iterations * (2 if depths.generic else 1))
-    terms = valid = lit_l = dist_l = None
+    dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
+    dep_lit_d = jnp.asarray(dep_lit)
+    runcost_d = jnp.asarray(runcost)
+    ddep_d = jnp.asarray(ddep)
+    rdinfo_r = _rep128(rdinfo)
+    dbase_r = _rep128(dbase)
+    clen_j = jnp.asarray(clen)
+    terms = valid = hist = None
     for it in range(iters):
-        dep_lit, runcost, ddep, rdinfo, dbase = _tables_from_depths(depths)
         terms, valid, hist = optimal_parse_device(
-            data2, jnp.asarray(clen), cand,
-            _rep128(dep_lit), _rep128(runcost), _rep128(ddep),
-            _rep128(rdinfo), _rep128(dbase), k=KCAND, interpret=interpret)
-        freq = np.asarray(hist).astype(np.int64)
-        freq[256] += 1
-        lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
-        dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
+            data2, clen_j, cand,
+            _rep128_dev(dep_lit_d), _rep128_dev(runcost_d),
+            _rep128_dev(ddep_d), rdinfo_r, dbase_r,
+            k=KCAND, interpret=interpret)
         if it + 1 < iters:
-            depths.update(lit_l, dist_l)
+            # intermediate cost refresh stays on device — no host fetch
+            dep_lit_d, runcost_d, ddep_d = _device_depths_update(
+                hist, dep_lit_d, runcost_d, ddep_d)
+    # ONE histogram fetch: the final canonical trees are host-built
+    freq = np.asarray(hist).astype(np.int64)
+    freq[256] += 1
+    lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
+    dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
 
     # emit: single dynamic block, device bit packing.  Only ~1/16 of the
     # (Tc·NB·128) positions hold a live term (most bytes sit inside a
