@@ -192,29 +192,34 @@ def main() -> None:
         _ = float(np.asarray(last))
         t_pipe = min(t_pipe, time.perf_counter() - t0)
 
-    # ---- encode side: level-9 deflate (device DP parse) -----------------
-    # timed region = the device pipeline (candidates → iterated DP →
-    # packed atoms) + a scalar sync, matching the decode discipline; the
-    # stream assembly below is host IO and is verified, not timed
-    from swift_png_tpu.ops.deflate_optimal import (deflate_device_optimal,
-                                                   optimal_pipeline)
+    # ---- encode side: level-9 deflate (batched device DP parse) ---------
+    # timed region = per-image menus/warm starts (native sampler), the
+    # device pipeline (per-image-menu candidates → iterated DP with
+    # per-image cost tables → compact → packed atoms), the single
+    # histogram round trip, and a final scalar sync; stream assembly is
+    # verified, untimed host IO
+    from swift_png_tpu.ops.deflate_optimal import (
+        deflate_device_optimal_batch, optimal_pipeline_batch)
 
-    enc_data = datas[0]
+    Benc = int(os.environ.get("SPT_BENCH_ENC_B", "8"))
+    enc_datas = datas[:Benc]
     t9 = float("inf")
     size9 = None
     try:
-        s9 = deflate_device_optimal(enc_data, level=9, pitch=W * 4 + 1,
-                                    bpp=4, interpret=not on_tpu)
-        size9 = len(s9)
+        s9s = deflate_device_optimal_batch(
+            enc_datas, level=9, pitch=W * 4 + 1, bpp=4,
+            interpret=not on_tpu)
+        size9 = len(s9s[0])
         import zlib as _z9
 
-        assert _z9.decompress(s9) == enc_data
+        for d, s in zip(enc_datas, s9s):
+            assert _z9.decompress(s) == d
         for _ in range(3):
             t0 = time.perf_counter()
-            atoms, total, _, _, _ = optimal_pipeline(
-                enc_data, level=9, pitch=W * 4 + 1, bpp=4,
+            _al, totals, _tr, _ct = optimal_pipeline_batch(
+                enc_datas, level=9, pitch=W * 4 + 1, bpp=4,
                 interpret=not on_tpu)
-            _ = float(np.asarray(total))
+            _ = float(np.asarray(totals[-1]))
             t9 = min(t9, time.perf_counter() - t0)
     except Exception:
         pass
@@ -288,10 +293,12 @@ def main() -> None:
     if smooth_gbps is not None:
         result["decode_smooth_gbps"] = smooth_gbps
     if size9 is not None and t9 < float("inf"):
-        result["deflate_l9_mbps"] = round(len(enc_data) / t9 / 1e6, 2)
+        result["deflate_l9_mbps"] = round(
+            sum(len(d) for d in enc_datas) / t9 / 1e6, 2)
+        result["deflate_l9_batch"] = len(enc_datas)
         if native.available():
             result["deflate_l9_ratio_vs_native9"] = round(
-                size9 / len(native.deflate(enc_data, 9, "zlib")), 3)
+                size9 / len(native.deflate(enc_datas[0], 9, "zlib")), 3)
     print(json.dumps(result))
 
 

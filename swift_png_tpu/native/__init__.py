@@ -103,6 +103,11 @@ def _load():
                                          ctypes.c_void_p, ctypes.c_size_t,
                                          ctypes.c_int, ctypes.c_int,
                                          ctypes.c_long, ctypes.c_int]
+    lib.spt_sample_stats.restype = ctypes.c_longlong
+    lib.spt_sample_stats.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                     ctypes.c_int, ctypes.c_void_p,
+                                     ctypes.c_int, ctypes.c_void_p,
+                                     ctypes.c_void_p]
     lib.spt_defilter.restype = ctypes.c_int
     lib.spt_defilter.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_int]
@@ -147,6 +152,27 @@ def inflate(data: bytes, out_size: int, format: str = "zlib") -> bytes:
     if n != out_size:
         raise NativeError(-6)
     return out.tobytes()
+
+
+def sample_stats(data: bytes, level: int = 4, top: int = 8):
+    """Greedy-parse sample statistics for the device optimal parse.
+
+    Returns ``(top_distances list[int], lit_freq (286,) int64,
+    dist_freq (30,) int64)`` — the distance-menu seeds and the ``Depths``
+    warm-start frequencies, computed by one native greedy pass (the
+    Python-side sampled-stream token walk cost ~30 ms per image).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    tops = np.zeros(top, np.int32)
+    lit = np.zeros(286, np.int64)
+    dist = np.zeros(30, np.int64)
+    k = lib.spt_sample_stats(data, len(data), level, tops.ctypes.data,
+                             top, lit.ctypes.data, dist.ctypes.data)
+    if k < 0:
+        raise NativeError(k)
+    return [int(d) for d in tops[:k]], lit, dist
 
 
 def deflate(data: bytes, level: int = 9, format: str = "zlib",

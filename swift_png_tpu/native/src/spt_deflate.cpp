@@ -11,6 +11,7 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
 
 extern "C" {
 uint32_t spt_crc32(const uint8_t*, size_t, uint32_t);
@@ -595,6 +596,57 @@ long long spt_deflate_blocks_w(const uint8_t* src, size_t n, uint8_t* dst,
 long long spt_deflate(const uint8_t* src, size_t n, uint8_t* dst,
                       size_t dstcap, int level, int format) {
     return spt_deflate_blocks(src, n, dst, dstcap, level, format, 0);
+}
+
+// Sample statistics for the device optimal parse: one greedy pass at
+// `level`'s search parameters over `src`, histogramming the match
+// distances it finds plus the lit/run-symbol and distance-decade
+// frequencies.  Feeds the distance menu and the Depths warm start
+// without the Python-side token walk (which cost ~30 ms per image).
+// Writes up to `topn` most frequent distances to `top_out`; returns the
+// count written.
+long long spt_sample_stats(const uint8_t* src, size_t n, int level,
+                           int32_t* top_out, int topn,
+                           long long* lit_freq /*286*/,
+                           long long* dist_freq /*30*/) {
+    memset(lit_freq, 0, 286 * sizeof(long long));
+    memset(dist_freq, 0, 30 * sizeof(long long));
+    if (n < 8) return 0;
+    Params par = search_parameters(level >= 8 ? 7 : level);
+    Searcher win(src, n, par.attempts, par.goal, 32768);
+    std::unordered_map<int, long long> hist;
+    size_t pos = 0;
+    while (pos < n) {
+        int limit = (int)std::min<size_t>(n - pos, 258);
+        win.insert_upto(pos + 1);
+        int run, dist;
+        win.best(pos, limit, run, dist);
+        if (run >= 6) {
+            hist[dist] += 1;
+            lit_freq[257 + run_decade(run)] += 1;
+            dist_freq[dist_decade(dist)] += 1;
+            win.insert_upto(pos + run);
+            pos += run;
+        } else {
+            lit_freq[src[pos]] += 1;
+            pos += 1;
+        }
+    }
+    lit_freq[256] += 1;
+    std::vector<std::pair<long long, int>> order;
+    order.reserve(hist.size());
+    for (auto& kv : hist) order.push_back({kv.second, kv.first});
+    std::sort(order.begin(), order.end(),
+              [](const auto& a, const auto& b) {
+                  return a.first != b.first ? a.first > b.first
+                                            : a.second < b.second;
+              });
+    int k = 0;
+    for (auto& e : order) {
+        if (k >= topn) break;
+        top_out[k++] = e.second;
+    }
+    return k;
 }
 
 }  // extern "C"
