@@ -344,9 +344,25 @@ class BatchCodec:
         header = parsing.Header((W, H), pixel, False)
         plte = (parsing.Palette([tuple(e[:3]) for e in palette]).serialized
                 if palette and fmt.is_indexed else None)
+        idats: list[bytes] | None = None
+        if level >= 8:
+            # levels 8-13: the batched device optimal parse encodes every
+            # image through one program per stage (per-image menus/cost
+            # tables, single-block streams — the indexed decoder's fast-
+            # path shape)
+            from ..ops.deflate_optimal import deflate_device_optimal_batch
+
+            try:
+                idats = deflate_device_optimal_batch(
+                    [filtered_np[b].tobytes() for b in range(B)],
+                    level=level, pitch=W * delay + 1, bpp=delay)
+            except Exception:
+                idats = None
         for b in range(B):
             data = filtered_np[b].tobytes()
-            if use_native:
+            if idats is not None:
+                idat = idats[b]
+            elif use_native:
                 idat = native.deflate(data, level, "zlib",
                                       block_terms=1 << 22 if index else 0)
             else:

@@ -221,3 +221,23 @@ def test_batch_encode_kinds():
     assert dec is not None
     got = np.asarray(dec)
     assert np.array_equal(got, px.astype(np.uint8))
+
+
+def test_batch_encode_level9_device_parse():
+    """Levels 8-13 route through the batched device optimal parse: one
+    program per stage, per-image menus/cost tables; outputs must decode
+    pixel-exact and carry valid single-block zlib streams."""
+    codec = BatchCodec()
+    rng = np.random.default_rng(11)
+    px = np.zeros((3, 24, 32, 4), np.uint8)
+    px[0] = rng.integers(0, 255, (24, 32, 4))
+    px[1, :, :, 0] = np.arange(32)[None, :] * 8
+    px[1, :, :, 3] = 255
+    px[2] = 128
+    outs = codec.encode(px, level=9)
+    from swift_png_tpu import png as spng
+
+    for b, s in enumerate(outs):
+        img = spng.Image.decompress_bytes(s)
+        got = np.asarray(img.unpack_rgba8()).reshape(24, 32, 4)
+        assert np.array_equal(got, px[b]), b
