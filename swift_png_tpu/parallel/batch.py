@@ -350,12 +350,17 @@ class BatchCodec:
             # image through one program per stage (per-image menus/cost
             # tables, single-block streams — the indexed decoder's fast-
             # path shape)
-            from ..ops.deflate_optimal import deflate_device_optimal_batch
+            from ..ops.deflate_optimal import (batch_layout,
+                                               deflate_device_optimal_batch)
 
             try:
+                n_img = filtered.shape[1] * filtered.shape[2]
+                stride, _, _ = batch_layout([n_img] * B)
+                dev = jnp.pad(jnp.asarray(filtered).reshape(B, n_img),
+                              ((0, 0), (0, stride - n_img))).reshape(-1)
                 idats = deflate_device_optimal_batch(
                     [filtered_np[b].tobytes() for b in range(B)],
-                    level=level, pitch=W * delay + 1, bpp=delay)
+                    level=level, pitch=W * delay + 1, bpp=delay, dbuf=dev)
             except Exception:
                 idats = None
         for b in range(B):
