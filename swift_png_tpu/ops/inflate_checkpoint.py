@@ -454,10 +454,13 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     pos2 = cs2 - 1
     keep2 = flat_m & (pos2 < expand_cap)
     tgt = jnp.where(keep2, pos2, expand_cap)  # out-of-bounds ⇒ dropped
-    cidx = jnp.full(expand_cap, N, jnp.int32).at[tgt].set(
-        jnp.where(keep2, gidx, N), mode="drop")
-    p = jnp.full(expand_cap, N, jnp.int32).at[tgt].set(
-        jnp.where(keep2, gp, N), mode="drop")
+    # one 2-wide scatter for (position, pointer) — scatter cost scales
+    # with the index count, so merging halves it
+    both = jnp.full((expand_cap, 2), N, jnp.int32).at[tgt].set(
+        jnp.stack([jnp.where(keep2, gidx, N),
+                   jnp.where(keep2, gp, N)], axis=-1), mode="drop")
+    cidx = both[:, 0]
+    p = both[:, 1]
     ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
 
     # light path (chase="light", non-default): a bounded single-step
