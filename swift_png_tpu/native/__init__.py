@@ -33,7 +33,7 @@ _ERRORS = {
 _FORMATS = {"zlib": 0, "ios": 1, "raw": 1, "gzip": 2}
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _abi_version(lib) -> int:

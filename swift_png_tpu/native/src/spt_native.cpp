@@ -21,7 +21,7 @@ extern "C" {
 // rebuilds) a library whose version doesn't match, so a stale cached .so
 // can never be called through a new ABI (e.g. spt_build_index gained a
 // pair_steps pointer for v3 indexes).
-int spt_abi_version() { return 3; }
+int spt_abi_version() { return 4; }
 
 // ---------------------------------------------------------------------------
 // checksums

@@ -105,7 +105,9 @@ def pack_bits(lanes: jnp.ndarray, nbits: jnp.ndarray, valid: jnp.ndarray):
 
     Args:
       lanes: ``(4, n)`` int32 — each term's pattern as 16-bit lanes.
-      nbits: per-term bit counts (0…64).
+      nbits: per-term bit counts (0…48 — a DEFLATE term's maximum;
+        the 4-scatter placement below spans exactly
+        ``ceil((15 + 48) / 16) = 4`` atoms and would drop bits past 48).
       valid: mask of live terms.
 
     Returns:
@@ -129,7 +131,7 @@ def pack_bits(lanes: jnp.ndarray, nbits: jnp.ndarray, valid: jnp.ndarray):
     # scatters are the packer's dominant cost at ~22 ns/event; a 630K-term
     # image drops from 8 to 4 M events)
     for k in range(4):
-        lo = (lanes[k] << sub) & 0xFFFF if k < 4 else 0
+        lo = (lanes[k] << sub) & 0xFFFF
         spill = (jnp.where(sub == 0, 0, lanes[k - 1] >> (16 - sub))
                  if k > 0 else 0)
         val = lo | spill

@@ -869,33 +869,6 @@ def _compact_batch(terms_r, valid_r, *, cap: int):
         terms_r, valid_r)
 
 
-@jax.jit
-def _pack_terms_batch(ctms_b, lit_bits, lit_len, dist_bits, dist_len):
-    from .deflate import pack_terms
-
-    return jax.vmap(pack_terms)(
-        jax.lax.bitcast_convert_type(ctms_b, jnp.uint32),
-        lit_bits, lit_len, dist_bits, dist_len)
-
-
-@jax.jit
-def _pack_bits_batch(lanes_b, nbits_b, counts_b):
-    from .deflate import pack_bits
-
-    cap = nbits_b.shape[1]
-    valid_cb = (jnp.arange(cap, dtype=jnp.int32)[None, :]
-                < counts_b[:, None])
-    return jax.vmap(pack_bits)(lanes_b, nbits_b, valid_cb)
-
-
-def _pack_batch(ctms_b, counts_b, lit_bits, lit_len, dist_bits, dist_len):
-    """Whole-batch pack_terms + pack_bits (two jits — one fused program
-    measured ~1.5× slower than the separately-compiled stages)."""
-    lanes_b, nbits_b = _pack_terms_batch(ctms_b, lit_bits, lit_len,
-                                         dist_bits, dist_len)
-    return _pack_bits_batch(lanes_b, nbits_b, counts_b)
-
-
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _compact_terms(terms, valid, *, cap: int):
     """Order-preserving compaction of the DP kernel's term grid.

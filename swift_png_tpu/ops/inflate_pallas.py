@@ -572,6 +572,12 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if ob % 64:
+        # the segment-gated stamp walks 64-row strips and the lit-tile
+        # loop stores aligned 8-row strips; a non-multiple would leave
+        # the tail rows unstamped SILENTLY
+        raise ValueError(f"decode_stamp_pallas needs ob % 64 == 0, "
+                         f"got {ob}")
     n_tiles = spans.shape[0]
     Ur = n_tiles * TUR
     mrows = meta.shape[0]

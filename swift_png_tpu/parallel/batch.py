@@ -345,11 +345,15 @@ class BatchCodec:
         plte = (parsing.Palette([tuple(e[:3]) for e in palette]).serialized
                 if palette and fmt.is_indexed else None)
         idats: list[bytes] | None = None
-        if level >= 8:
-            # levels 8-13: the batched device optimal parse encodes every
-            # image through one program per stage (per-image menus/cost
-            # tables, single-block streams — the indexed decoder's fast-
-            # path shape)
+        if level >= 8 and (jax.default_backend() not in ("cpu",)
+                           or not use_native):
+            # levels 8-13 on an accelerator: the batched device optimal
+            # parse encodes every image through one program per stage
+            # (per-image menus/cost tables, single-block streams — the
+            # indexed decoder's fast-path shape).  On CPU-only hosts the
+            # native optimal parse below is orders of magnitude faster
+            # than interpret-mode Pallas, so it keeps the job when
+            # available.
             from ..ops.deflate_optimal import (batch_layout,
                                                deflate_device_optimal_batch)
 
