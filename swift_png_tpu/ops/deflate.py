@@ -81,19 +81,25 @@ def pack_terms(terms: jnp.ndarray, lit_bits, lit_len, dist_bits, dist_len):
 
     lanes = [jnp.zeros_like(litv) for _ in range(4)]
     sym = jnp.where(is_lit, litv, 257 + rd)
-    p0 = lit_bits[sym]
-    n0 = lit_len[sym]
+    # two gathers total: (bits | len<<16) packed per table — the six
+    # separate small-table gathers cost ~20 ns each per term and
+    # dominated the packer; the RFC 1951 extra-bit widths come from
+    # their closed forms instead of tables
+    lv = (lit_bits | (lit_len << 16))[sym]
+    p0 = lv & 0xFFFF
+    n0 = lv >> 16
     lanes = _place(lanes, p0, jnp.zeros_like(n0))
     off = n0
     # run extra bits (≤5), distance code (≤15), distance extra (≤13):
     # matches only — pieces are zero-width for literals
-    reb = jnp.where(is_lit, 0, _RUN_EXTRA[rd])
+    reb = jnp.where(is_lit | (rd < 4) | (rd == 28), 0, (rd >> 2) - 1)
     lanes = _place(lanes, jnp.where(is_lit, 0, run_extra_v), off)
     off = off + reb
-    dn = jnp.where(is_lit, 0, dist_len[dd])
-    lanes = _place(lanes, jnp.where(is_lit, 0, dist_bits[dd]), off)
+    dv = (dist_bits | (dist_len << 16))[dd]
+    dn = jnp.where(is_lit, 0, dv >> 16)
+    lanes = _place(lanes, jnp.where(is_lit, 0, dv & 0xFFFF), off)
     off = off + dn
-    deb = jnp.where(is_lit, 0, _DIST_EXTRA[dd])
+    deb = jnp.where(is_lit | (dd < 4), 0, (dd >> 1) - 1)
     lanes = _place(lanes, jnp.where(is_lit, 0, dist_extra_v), off)
     nbits = off + deb
     return jnp.stack(lanes), nbits
