@@ -201,7 +201,8 @@ def main() -> None:
     from swift_png_tpu.ops.deflate_optimal import (
         batch_layout, deflate_device_optimal_batch, optimal_pipeline_batch)
 
-    Benc = int(os.environ.get("SPT_BENCH_ENC_B", "8"))
+    Benc = int(os.environ.get("SPT_BENCH_ENC_B",
+                              "2" if tpu_unavailable else "8"))
     enc_datas = datas[:Benc]
     t9 = float("inf")
     size9 = None
