@@ -32,8 +32,8 @@ from ..lz77 import constants as C
 from ..lz77.huffman import canonical_codes, lengths_from_frequencies
 from ..utils.bits import reverse_bits
 
-__all__ = ["pack_bits", "pack_terms", "greedy_tokens", "term_frequencies",
-           "deflate_device"]
+__all__ = ["pack_bits", "pack_terms", "pack_stream", "greedy_tokens",
+           "term_frequencies", "deflate_device"]
 
 _RUN_EXTRA = jnp.asarray(C.RUN_EXTRA)
 _RUN_BASE = jnp.asarray(C.RUN_BASE)
@@ -123,29 +123,168 @@ def pack_bits(lanes: jnp.ndarray, nbits: jnp.ndarray, valid: jnp.ndarray):
     nb = jnp.where(valid, nbits, 0)
     offs = jnp.cumsum(nb) - nb
     total = jnp.sum(nb)
-    # terms carry up to 48 bits, so the data atoms can reach index 3n + 3;
-    # size for the worst case and keep the dead-lane sink strictly beyond
-    # every reachable data atom so zeroing it never drops live bits
+    # terms carry up to 48 bits, so the data atoms can reach index 3n + 3
     natoms = 3 * n + 8
     atoms = jnp.zeros(natoms, jnp.int32)
     a0 = offs >> 4
     sub = offs & 15
-    sink = natoms - 1
     # one scatter per SPANNED atom, not per (lane, half): atom a0+k takes
     # lane k's low part OR'd with lane k-1's spill — a term spans at most
-    # ceil((15+48)/16) = 4 atoms, so 4 scatter-adds instead of 8 (the
-    # scatters are the packer's dominant cost at ~22 ns/event; a 630K-term
-    # image drops from 8 to 4 M events)
+    # ceil((15+48)/16) = 4 atoms.  Dead (lane, term) events route OUT OF
+    # BOUNDS and are dropped by the scatter: a dropped event costs ~1 ns
+    # on this chip vs ~22 ns for a landed one (a real sink index paid
+    # full price), and most terms span only 1–2 atoms, so the event count
+    # falls from 4n to ~sum(ceil((sub+nbits)/16)) ≈ 1.1n on
+    # literal-dominated streams
     for k in range(4):
         lo = (lanes[k] << sub) & 0xFFFF
         spill = (jnp.where(sub == 0, 0, lanes[k - 1] >> (16 - sub))
                  if k > 0 else 0)
         val = lo | spill
         live = valid & (16 * k < sub + nb)
-        atoms = atoms.at[jnp.where(live, a0 + k, sink)].add(
-            jnp.where(live, val, 0))
-    atoms = atoms.at[sink].set(0)
+        atoms = atoms.at[jnp.where(live, a0 + k, natoms)].add(
+            jnp.where(live, val, 0), mode="drop")
     return atoms, total
+
+
+@jax.jit
+def pack_stream(terms_u32, valid, lit_bits, lit_len, dist_bits, dist_len):
+    """Fused term-synthesis + bit-packing (one dispatch per image: the
+    per-image encode loop was paying two program launches and a
+    materialized (4, n) lane intermediate per stream)."""
+    lanes, nbits = pack_terms(terms_u32, lit_bits, lit_len,
+                              dist_bits, dist_len)
+    return pack_bits(lanes, nbits, valid)
+
+
+def _place64(lo, hi, piece, off):
+    """OR a ≤16-bit ``piece`` into a 64-bit (lo, hi int32) window at bit
+    ``off`` (0…48)."""
+    sh = off & 31
+    in_hi = off >= 32
+    shifted = piece << sh                      # low 32 bits of the shift
+    spill = jnp.where(sh == 0, 0,
+                      (piece >> 1) >> (31 - sh))  # high 32 bits
+    lo = lo | jnp.where(in_hi, 0, shifted)
+    hi = hi | jnp.where(in_hi, shifted, spill)
+    return lo, hi
+
+
+@jax.jit
+def pack_terms32(terms: jnp.ndarray, lit_bits, lit_len, dist_bits,
+                 dist_len):
+    """:func:`pack_terms` variant emitting 32-bit halves.
+
+    Returns ``(lo (n,), hi (n,), nbits (n,))`` int32 — each term's ≤48-bit
+    pattern as two 32-bit words.  Feeds :func:`pack_bits32`, whose
+    32-bit-atom scatter needs half the indices of the 16-bit packer
+    (scatter cost on this chip is per INDEX — ~8 ns regardless of whether
+    the event lands — so atom width, not event liveness, is the lever).
+    """
+    terms = terms.astype(jnp.uint32)
+    is_lit = ((terms >> 27) == 31) & ((terms & 0x100) == 0)
+    litv = (terms & 0xFF).astype(jnp.int32)
+    rd = jnp.clip((terms & 0xFF).astype(jnp.int32), 0, 28)
+    dd = jnp.clip((terms >> 27).astype(jnp.int32), 0, 29)
+    run_extra_v = ((terms >> 9) & 0x1F).astype(jnp.int32)
+    dist_extra_v = ((terms >> 14) & 0x1FFF).astype(jnp.int32)
+
+    lo = jnp.zeros_like(litv)
+    hi = jnp.zeros_like(litv)
+    sym = jnp.where(is_lit, litv, 257 + rd)
+    lv = (lit_bits | (lit_len << 16))[sym]
+    lo, hi = _place64(lo, hi, lv & 0xFFFF, jnp.zeros_like(litv))
+    off = lv >> 16
+    reb = jnp.where(is_lit | (rd < 4) | (rd == 28), 0, (rd >> 2) - 1)
+    lo, hi = _place64(lo, hi, jnp.where(is_lit, 0, run_extra_v), off)
+    off = off + reb
+    dv = (dist_bits | (dist_len << 16))[dd]
+    dn = jnp.where(is_lit, 0, dv >> 16)
+    lo, hi = _place64(lo, hi, jnp.where(is_lit, 0, dv & 0xFFFF), off)
+    off = off + dn
+    deb = jnp.where(is_lit | (dd < 4), 0, (dd >> 1) - 1)
+    lo, hi = _place64(lo, hi, jnp.where(is_lit, 0, dist_extra_v), off)
+    return lo, hi, off + deb
+
+
+@functools.partial(jax.jit, static_argnames=("spans",))
+def pack_bits32(lo, hi, nbits, valid, *, spans: int = 3):
+    """Pack LSB-first bit patterns into 32-bit atoms.
+
+    A ≤48-bit term at any bit offset spans at most 3 32-bit atoms, and at
+    most 2 when its bit count is ≤ 33 — callers that can bound the max
+    term bits from the Huffman trees (code length + decade extra bits over
+    symbols that actually occur) pass ``spans=2`` and the scatter index
+    count falls to 2n (measured ~8 ns per scatter index on this chip,
+    independent of event liveness — index count is the entire cost).
+
+    Returns ``(atoms (⌈3n/2⌉+8,) int32 of 32 bits each, total_bits)``.
+    """
+    n = nbits.shape[0]
+    nb = jnp.where(valid, nbits, 0)
+    offs = jnp.cumsum(nb) - nb
+    total = jnp.sum(nb)
+    natoms = (3 * n) // 2 + 8
+    atoms = jnp.zeros(natoms, jnp.int32)
+    a0 = offs >> 5
+    sub = offs & 31
+    nsub = (32 - sub) & 31
+    vals = [
+        lo << sub,
+        jnp.where(sub == 0, 0,
+                  ((lo >> 1) & 0x7FFFFFFF) >> (nsub - 1)) | (hi << sub),
+        jnp.where(sub == 0, 0, ((hi >> 1) & 0x7FFFFFFF) >> (nsub - 1)),
+    ]
+    for k in range(spans):
+        live = valid & (32 * k < sub + nb)
+        atoms = atoms.at[jnp.where(live, a0 + k, natoms)].add(
+            jnp.where(live, vals[k], 0), mode="drop")
+    return atoms, total
+
+
+@jax.jit
+def pack_stream32(terms_u32, valid, lit_bits, lit_len, dist_bits,
+                  dist_len):
+    """Fused 32-bit pack (3-span general form)."""
+    lo, hi, nbits = pack_terms32(terms_u32, lit_bits, lit_len,
+                                 dist_bits, dist_len)
+    return pack_bits32(lo, hi, nbits, valid, spans=3)
+
+
+@jax.jit
+def pack_stream32_short(terms_u32, valid, lit_bits, lit_len, dist_bits,
+                        dist_len):
+    """Fused 32-bit pack for streams whose max term bits ≤ 33 (proved
+    host-side from the trees): 2 scatter passes instead of 3."""
+    lo, hi, nbits = pack_terms32(terms_u32, lit_bits, lit_len,
+                                 dist_bits, dist_len)
+    return pack_bits32(lo, hi, nbits, valid, spans=2)
+
+
+def max_term_bits(lit_lengths, dist_lengths, freq) -> int:
+    """Exact upper bound on a stream's per-term bit count, from the final
+    trees and the symbol histogram (only decades that occur contribute)."""
+    ll = np.asarray(lit_lengths, np.int64)
+    dl = np.asarray(dist_lengths, np.int64)
+    f = np.asarray(freq, np.int64)
+    lit_max = int(np.max(np.where(f[:256] > 0, ll[:256], 0), initial=0))
+    best = lit_max
+    run_f = f[257:286]
+    dist_f = f[288:318]
+    if int(run_f.sum()) > 0 and int(dist_f.sum()) > 0:
+        run_bits = np.where(run_f > 0,
+                            ll[257:286] + np.asarray(C.RUN_EXTRA[:29]), 0)
+        dist_bits_v = np.where(
+            dist_f > 0,
+            dl[:30] + np.asarray(C.DISTANCE_EXTRA[:30]), 0)
+        best = max(best, int(run_bits.max()) + int(dist_bits_v.max()))
+    return best
+
+
+def atoms32_to_bytes(atoms: np.ndarray, total_bits: int) -> bytes:
+    """Host: little-endian 32-bit atoms → the packed byte string."""
+    u32 = np.asarray(atoms, np.int64).astype(np.uint32)
+    return u32.tobytes()[: (int(total_bits) + 7) // 8]
 
 
 def atoms_to_bytes(atoms: np.ndarray, total_bits: int) -> bytes:

@@ -775,6 +775,36 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
     return terms, valid, jnp.sum(hist, axis=(0, 2))[:320]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "tpi", "iters"))
+def _dp_iterated(data2, clen, cand, dep_b, run_b, dde_b, rdinfo_r, dbase_r,
+                 *, k: int, interpret: bool, tpi: int, iters: int):
+    """All DP iterations + intermediate Depths refreshes in ONE program.
+
+    The eager per-iteration loop paid a program dispatch per DP run plus
+    one per Depths update (~27 ms of dispatch-dominated small-kernel work
+    each); fusing keeps the whole refinement on the device queue.
+    """
+    B = dep_b.shape[0]
+
+    def stack128(t, rows):
+        return jnp.broadcast_to(
+            t[:, :, None], (B, rows, 128)).reshape(B * rows, 128
+                                                   ).astype(jnp.int32)
+
+    terms = valid = hist_img = None
+    for it in range(iters):
+        terms, valid, hist_img = optimal_parse_device(
+            data2, clen, cand,
+            stack128(dep_b, 256), stack128(run_b, 256),
+            stack128(dde_b, 32), rdinfo_r, dbase_r,
+            k=k, interpret=interpret, tpi=tpi)
+        if it + 1 < iters:
+            dep_b, run_b, dde_b = jax.vmap(_device_depths_update)(
+                hist_img, dep_b, run_b, dde_b)
+    return terms, valid, hist_img
+
+
 def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
                      bpp: int = 4, interpret: bool = False):
     """Device part of the optimal-parse deflate: candidates → iterated DP
@@ -841,23 +871,33 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
     lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
     dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
 
-    # emit: single dynamic block, device bit packing.  Only ~1/16 of the
-    # (Tc·NB·128) positions hold a live term (most bytes sit inside a
-    # match or behind a longer literal run), so the terms are compacted
-    # first — the DP histogram gives the exact term count for free (one
-    # row-0…287 entry per term), and pack_terms/pack_bits then touch
-    # n_terms elements instead of the full position grid (measured
-    # 164 ms → ~25 ms on the 1 MB bench image).
-    from .deflate import _emit_tables, pack_terms, pack_bits
+    # emit: single dynamic block, device bit packing.  On match-rich
+    # content only a small fraction of the (Tc·NB·128) positions hold a
+    # live term, so the terms are compacted first — the DP histogram
+    # gives the exact term count for free (one row-0…287 entry per term)
+    # and pack then touches n_terms elements instead of the grid
+    # (measured 164 ms → ~25 ms on a 1 MB match-rich image).  On
+    # high-entropy content terms ≈ bytes and the compaction itself would
+    # be a grid-sized near-identity scatter — skipped, pack runs over the
+    # grid positions in stream order directly.
+    from .deflate import (_emit_tables, max_term_bits, pack_stream32,
+                          pack_stream32_short)
 
-    n_terms = int(freq[:288].sum()) - 1          # minus the injected EOB
-    cap = max(512, 1 << (n_terms + 8 - 1).bit_length())
-    ctms, count = _compact_terms(terms, valid, cap=cap)
     tables = _emit_tables(lit_l, dist_l)
-    lanes, nbits = pack_terms(
-        jax.lax.bitcast_convert_type(ctms, jnp.uint32), *tables)
-    valid_c = jnp.arange(cap, dtype=jnp.int32) < count
-    atoms, total = pack_bits(lanes, nbits, valid_c)
+    n_terms = int(freq[:288].sum()) - 1          # minus the injected EOB
+    grid = Tc * 128 * NB
+    if n_terms > grid // 2:
+        tf = jnp.transpose(terms, (0, 2, 1)).reshape(-1)
+        vm = jnp.transpose(valid, (0, 2, 1)).reshape(-1) != 0
+        count = jnp.asarray(np.int32(n_terms))
+    else:
+        cap = max(512, 1 << (n_terms + 8 - 1).bit_length())
+        tf, count = _compact_terms(terms, valid, cap=cap)
+        vm = jnp.arange(cap, dtype=jnp.int32) < count
+    pack = (pack_stream32_short
+            if max_term_bits(lit_l, dist_l, freq) <= 33 else pack_stream32)
+    atoms, total = pack(
+        jax.lax.bitcast_convert_type(tf, jnp.uint32), vm, *tables)
     return atoms, total, lit_l, dist_l, count
 
 
@@ -906,8 +946,7 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     from ..lz77.checksums import adler32
     from ..lz77.deflate import _write_stored_block
     from ..utils.bits import BitWriter
-    from .deflate import (_write_block_header_and_tables, _append_bits,
-                          atoms_to_bytes)
+    from .deflate import _write_block_header_and_tables, _append_bits
     from ..lz77.huffman import canonical_codes
     from ..utils.bits import reverse_bits
 
@@ -925,12 +964,12 @@ def deflate_device_optimal(data: bytes, level: int = 9,
 
     atoms, total, lit_l, dist_l, count = optimal_pipeline(
         data, level=level, pitch=pitch, bpp=bpp, interpret=interpret)
-    # fetch only the live atoms, as uint16 — atoms are 16-bit values and
-    # the tunnel runs at ~10 MB/s (an unsliced int32 fetch measured 2.9 s
-    # for a 1 MB image's padded grid)
-    na = (int(total) + 15) // 16 + 1
-    body = atoms_to_bytes(
-        np.asarray(atoms[:na].astype(jnp.uint16)), int(total))
+    # fetch only the live atoms — the tunnel runs at ~10 MB/s (an
+    # unsliced padded-grid fetch measured 2.9 s for a 1 MB image)
+    na = (int(total) + 31) // 32 + 1
+    from .deflate import atoms32_to_bytes
+
+    body = atoms32_to_bytes(np.asarray(atoms[:na]), int(total))
     _write_block_header_and_tables(out, lit_l, dist_l, True)
     _append_bits(out, body, int(total))
     lit_codes = canonical_codes(np.asarray(lit_l, np.int64))
@@ -1055,33 +1094,37 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     rdinfo_r = _rep128(rdinfo)
     dbase_r = _rep128(dbase)
 
-    def stack128(t, rows):
-        return jnp.broadcast_to(
-            t[:, :, None], (B, rows, 128)).reshape(B * rows, 128
-                                                   ).astype(jnp.int32)
-
-    terms = valid = hist_img = None
-    for it in range(iters):
-        terms, valid, hist_img = optimal_parse_device(
-            data2, clen_j, cand,
-            stack128(dep_b, 256), stack128(run_b, 256),
-            stack128(dde_b, 32), rdinfo_r, dbase_r,
-            k=KCAND, interpret=interpret, tpi=TPI)
-        if it + 1 < iters:
-            dep_b, run_b, dde_b = jax.vmap(_device_depths_update)(
-                hist_img, dep_b, run_b, dde_b)
+    terms, valid, hist_img = _dp_iterated(
+        data2, clen_j, cand, dep_b, run_b, dde_b, rdinfo_r, dbase_r,
+        k=KCAND, interpret=interpret, tpi=TPI, iters=iters)
 
     freqs = np.asarray(hist_img).astype(np.int64)      # ONE fetch (B, 320)
-    from .deflate import _emit_tables, pack_terms, pack_bits
+    from .deflate import (_emit_tables, max_term_bits, pack_stream32,
+                          pack_stream32_short)
 
     terms_r = terms.reshape(B, TPI, NB, 128)
     valid_r = valid.reshape(B, TPI, NB, 128)
-    # host per image: final canonical trees (tiny); device: ONE vmapped
-    # compact + pack_terms + pack_bits over the whole batch (the
-    # per-image eager loop cost ~28 ms/image of dispatch-serialized work)
+    grid = TPI * 128 * NB
+    # the histogram gives each image's exact term count (one lit/run
+    # symbol per term) before any further device work is dispatched
+    n_terms = [int(freqs[i][:288].sum()) for i in range(B)]
+    n_terms_max = max(max(n_terms), 1)
+    skip_compact = n_terms_max > grid // 2
+    if skip_compact:
+        # literal-dominated batch (high-entropy content defeats LZ
+        # matching, so terms ≈ bytes): compaction would be a near-identity
+        # grid-sized scatter (~89 ms/batch measured) — pack the grid
+        # positions directly in stream order instead
+        tf_b = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
+        vmask_b = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
+    else:
+        cap = max(512, 1 << (n_terms_max + 8 - 1).bit_length())
+        ctms_b, counts_b = _compact_batch(terms_r, valid_r, cap=cap)
+    # host tree build AFTER the device compaction is enqueued: the
+    # package-merge for B images (~19 ms host) overlaps the device queue
     trees = []
     emit_rows = []
-    n_terms_max = 1
+    shorts = []
     for i in range(B):
         freq = freqs[i].copy()
         freq[256] += 1
@@ -1089,21 +1132,25 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
         dist_l = lengths_from_frequencies(freq[288:318], 15, force=False)
         trees.append((lit_l, dist_l))
         emit_rows.append(_emit_tables(lit_l, dist_l))
-        n_terms_max = max(n_terms_max, int(freqs[i][:288].sum()))
-    cap = max(512, 1 << (n_terms_max + 8 - 1).bit_length())
-    ctms_b, counts_b = _compact_batch(terms_r, valid_r, cap=cap)
-    # per-image pack calls (measured FASTER than the vmapped whole-batch
-    # pack on this chip — the batched scatter programs schedule worse)
+        shorts.append(max_term_bits(lit_l, dist_l, freqs[i]) <= 33)
+    # per-image fused pack calls (the vmapped whole-batch pack measured
+    # SLOWER on this chip — batched scatter programs schedule worse);
+    # 32-bit atoms: 2 scatter passes when the trees bound term bits ≤ 33
     atoms_list, totals, counts = [], [], []
     for i in range(B):
-        lanes, nbits = pack_terms(
-            jax.lax.bitcast_convert_type(ctms_b[i], jnp.uint32),
+        if skip_compact:
+            src, vm = tf_b[i], vmask_b[i]
+            counts.append(jnp.asarray(np.int32(n_terms[i])))
+        else:
+            src = ctms_b[i]
+            vm = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
+            counts.append(counts_b[i])
+        pack = pack_stream32_short if shorts[i] else pack_stream32
+        atoms, total = pack(
+            jax.lax.bitcast_convert_type(src, jnp.uint32), vm,
             *emit_rows[i])
-        valid_c = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
-        atoms, total = pack_bits(lanes, nbits, valid_c)
         atoms_list.append(atoms)
         totals.append(total)
-        counts.append(counts_b[i])
     return atoms_list, totals, trees, counts
 
 
@@ -1120,8 +1167,7 @@ def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
     from ..lz77.checksums import adler32
     from ..lz77.deflate import _write_stored_block
     from ..utils.bits import BitWriter, reverse_bits
-    from .deflate import (_write_block_header_and_tables, _append_bits,
-                          atoms_to_bytes)
+    from .deflate import _write_block_header_and_tables, _append_bits
     from ..lz77.huffman import canonical_codes
 
     if interpret is None:
@@ -1142,14 +1188,16 @@ def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
         atoms_list, totals, trees, _ = optimal_pipeline_batch(
             sub, level=level, pitch=pitch, bpp=bpp, interpret=interpret,
             dbuf=dbuf)
+        from .deflate import atoms32_to_bytes
+
         tot_h = np.asarray(jnp.stack(totals))          # one tiny fetch
-        sliced = [a[: (int(t) + 15) // 16 + 1].astype(jnp.uint16)
+        sliced = [a[: (int(t) + 31) // 32 + 1]
                   for a, t in zip(atoms_list, tot_h)]
         cat = np.asarray(jnp.concatenate(sliced))      # one bulk fetch
         offs = np.cumsum([0] + [s.shape[0] for s in sliced])
         for j, i in enumerate(big):
-            body = atoms_to_bytes(cat[offs[j]: offs[j + 1]],
-                                  int(tot_h[j]))
+            body = atoms32_to_bytes(cat[offs[j]: offs[j + 1]],
+                                    int(tot_h[j]))
             lit_l, dist_l = trees[j]
             w = BitWriter()
             w.write_bytes(bytes([0x78, ~((0x78 * 256) % 31) & 31]))

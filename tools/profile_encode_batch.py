@@ -1,0 +1,206 @@
+"""Stage-level breakdown of optimal_pipeline_batch (level 9, batch 8).
+
+Mirrors the pipeline's stages with forced-sync timing so the stage sums
+match the bench's `deflate_l9_mbps` timed region.
+
+timeout 2400 python tools/profile_encode_batch.py [B] [trials]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_axon")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import bench as B_
+    from swift_png_tpu.lz77.deflate import Depths, search_parameters
+    from swift_png_tpu.lz77.huffman import lengths_from_frequencies
+    from swift_png_tpu.ops import deflate_optimal as DO
+    from swift_png_tpu.ops.deflate import (_emit_tables, pack_terms,
+                                           pack_bits)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    H, W = 512, 512
+    datas = [B_._filtered(B_._image(i, H, W)).tobytes() for i in range(B)]
+    level = 9
+    pitch, bpp = W * 4 + 1, 4
+    stride, Ntot, TPI = DO.batch_layout([len(d) for d in datas])
+    buf = np.zeros(Ntot, np.uint8)
+    for i, d in enumerate(datas):
+        buf[i * stride: i * stride + len(d)] = np.frombuffer(d, np.uint8)
+    dbuf = jnp.asarray(buf)
+    nvec = jnp.asarray(np.array([len(d) for d in datas], np.int32))
+
+    def t(label, fn, reps=trials, sync=None):
+        best = float("inf")
+        r = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            if sync is not None:
+                sync(r)
+            else:
+                try:
+                    leaf = jax.tree_util.tree_leaves(r)[0]
+                    _ = float(np.asarray(leaf.reshape(-1)[:1])[0])
+                except Exception:
+                    pass
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label:30s} {best*1e3:8.1f} ms", flush=True)
+        return r
+
+    # ---- host: menus + warm starts --------------------------------------
+    def host_menu():
+        menus, lit_fs, dist_fs = [], [], []
+        for d in datas:
+            m = DO.default_menu(len(d), bpp=bpp, pitch=pitch)
+            extra, lit_f, dist_f = DO._sample_stats(d)
+            m += [x for x in extra if x not in m]
+            menus.append(tuple(sorted(m)))
+            lit_fs.append(lit_f)
+            dist_fs.append(dist_f)
+        return menus, lit_fs, dist_fs
+
+    menus, lit_fs, dist_fs = t("host menus+sample", host_menu, reps=2,
+                               sync=lambda r: None)
+    dmax = -(-max(len(m) for m in menus) // DO.DMAX_STEP) * DO.DMAX_STEP
+
+    dv = np.zeros((B, dmax), np.int32)
+    cv = np.zeros((B, dmax), np.int32)
+    from swift_png_tpu.lz77 import constants as C
+    for i, m in enumerate(menus):
+        dv[i, :len(m)] = list(m)
+        cv[i, :len(m)] = [int(C.DISTANCE_DECADE[d]) for d in m]
+    dvj, cvj = jnp.asarray(dv), jnp.asarray(cv)
+
+    cand_flat = t("candidates kernel", lambda: DO.menu_candidates_pallas_batch(
+        dvj, cvj, dbuf, nvec, dmax=dmax, stride=stride))
+
+    Tc = B * TPI
+
+    def relayout():
+        cand = jnp.transpose(cand_flat.reshape(DO.KCAND, Tc, 128, DO.NB),
+                             (1, 0, 3, 2))
+        data2 = jnp.transpose(
+            dbuf[:Ntot].reshape(Tc, 128, DO.NB), (0, 2, 1)).astype(jnp.int32)
+        return cand, data2
+
+    cand, data2 = t("cand+data relayout", relayout)
+
+    clen = np.zeros((Tc, 8, 128), np.int32)
+    for i, d in enumerate(datas):
+        for c in range(-(-len(d) // DO.NB)):
+            clen[i * TPI + c // 128, 0, c % 128] = min(
+                DO.NB, len(d) - c * DO.NB)
+    clen_j = jnp.asarray(clen)
+
+    dep_rows, run_rows, dde_rows = [], [], []
+    rdinfo = dbase = None
+    for i in range(B):
+        depths = Depths()
+        lit_f, dist_f = lit_fs[i], dist_fs[i]
+        if lit_f is not None and int(lit_f.sum()) > 64:
+            lit_f = lit_f.copy()
+            lit_f[256] += 1
+            depths.update(
+                lengths_from_frequencies(lit_f, 15, force=True),
+                lengths_from_frequencies(dist_f, 15, force=False))
+        dep_lit, runcost, ddep, rdinfo, dbase = DO._tables_from_depths(depths)
+        dep_rows.append(dep_lit)
+        run_rows.append(runcost)
+        dde_rows.append(ddep)
+    dep_b = jnp.asarray(np.stack(dep_rows).astype(np.int32))
+    run_b = jnp.asarray(np.stack(run_rows).astype(np.int32))
+    dde_b = jnp.asarray(np.stack(dde_rows).astype(np.int32))
+    rdinfo_r = DO._rep128(rdinfo)
+    dbase_r = DO._rep128(dbase)
+
+    def stack128(t_, rows):
+        return jnp.broadcast_to(
+            t_[:, :, None], (B, rows, 128)).reshape(B * rows, 128
+                                                    ).astype(jnp.int32)
+
+    def dp1():
+        return DO.optimal_parse_device(
+            data2, clen_j, cand,
+            stack128(dep_b, 256), stack128(run_b, 256),
+            stack128(dde_b, 32), rdinfo_r, dbase_r,
+            k=DO.KCAND, interpret=False, tpi=TPI)
+
+    terms, valid, hist_img = t("DP kernel (1 iter)", dp1)
+
+    def upd():
+        return jax.vmap(DO._device_depths_update)(hist_img, dep_b, run_b,
+                                                  dde_b)
+
+    t("depths update", upd)
+
+    def hist_fetch():
+        return np.asarray(hist_img).astype(np.int64)
+
+    freqs = t("hist fetch (sync)", hist_fetch, sync=lambda r: None)
+
+    def tree_build():
+        trees, emit_rows, n_terms_max = [], [], 1
+        for i in range(B):
+            freq = freqs[i].copy()
+            freq[256] += 1
+            lit_l = lengths_from_frequencies(freq[:286], 15, force=True)
+            dist_l = lengths_from_frequencies(freq[288:318], 15,
+                                              force=False)
+            trees.append((lit_l, dist_l))
+            emit_rows.append(_emit_tables(lit_l, dist_l))
+            n_terms_max = max(n_terms_max, int(freqs[i][:288].sum()))
+        return trees, emit_rows, n_terms_max
+
+    trees, emit_rows, n_terms_max = t("host tree build", tree_build,
+                                      sync=lambda r: None)
+    cap = max(512, 1 << (n_terms_max + 8 - 1).bit_length())
+    print(f"  n_terms_max={n_terms_max} cap={cap}")
+
+    terms_r = terms.reshape(B, TPI, DO.NB, 128)
+    valid_r = valid.reshape(B, TPI, DO.NB, 128)
+
+    ctms_b, counts_b = t("compact (vmapped)", lambda: DO._compact_batch(
+        terms_r, valid_r, cap=cap))
+
+    def packs():
+        atoms_list, totals = [], []
+        for i in range(B):
+            lanes, nbits = pack_terms(
+                jax.lax.bitcast_convert_type(ctms_b[i], jnp.uint32),
+                *emit_rows[i])
+            valid_c = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
+            atoms, total = pack_bits(lanes, nbits, valid_c)
+            atoms_list.append(atoms)
+            totals.append(total)
+        return atoms_list, totals
+
+    atoms_list, totals = t("pack loop (B images)", packs,
+                           sync=lambda r: float(np.asarray(r[1][-1])))
+
+    # single pack pair for scale
+    i = 0
+    lanes, nbits = t("  pack_terms (1 img)", lambda: pack_terms(
+        jax.lax.bitcast_convert_type(ctms_b[i], jnp.uint32),
+        *emit_rows[i]))
+    valid_c = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
+    t("  pack_bits (1 img)", lambda: pack_bits(lanes, nbits, valid_c))
+
+
+if __name__ == "__main__":
+    main()
