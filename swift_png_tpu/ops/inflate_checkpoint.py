@@ -386,6 +386,7 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     """
     from ..lz77.index import MATCH_SEG as SEG
 
+    assert SEG == 64, "slot-rank bit masks assume 64-byte match segments"
     N = ptr.shape[0]
     if collapse_shape is not None and expand_cap >= (N >> 1):
         # identity-slot mode for match-DOMINATED content (smooth/RLE
@@ -492,18 +493,55 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     # (overflow retries at a bigger cap), so a target is either a slot
     # (chase continues there) or a literal (encoded resolved, < 0).
     # Matches point strictly backward (dist >= 1) ⇒ acyclic ⇒ converges.
+    #
+    # A target's slot index is computed ARITHMETICALLY from the segment
+    # structure — rank = (slots in kept segments before mine) + (slots
+    # below my offset in my segment's packed bit mask) — instead of an
+    # N-sized inverse map: the inv scatter plus the inv[p] gather each
+    # paid the per-index random-access price on an N-sized table, while
+    # the rank needs three gathers into nseg-sized tables plus dense
+    # popcounts.  The ranked predicate must be EXACTLY the compaction's
+    # ``flat_m`` (ptr != self within kept segments — in collapse mode
+    # that includes RLE bytes sharing a segment with a d≥2 match, while
+    # segment KEEP-ness comes from the d≥2 mask alone).
+    full_m2 = jnp.pad((ptr != jnp.arange(N, dtype=jnp.int32)).astype(
+        jnp.uint8), (0, Np - N)).reshape(nseg, SEG)
+    full_m2 = full_m2 * keep[:, None].astype(jnp.uint8)
+    mcnt = jnp.sum(full_m2.astype(jnp.int32), axis=1)
+    mccum = _cumsum_mxu(mcnt) - mcnt               # exclusive prefix
+    wsh = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    mask_lo = jnp.sum(full_m2[:, :32].astype(jnp.uint32) << wsh, axis=1,
+                      dtype=jnp.uint32)
+    mask_hi = jnp.sum(full_m2[:, 32:].astype(jnp.uint32) << wsh, axis=1,
+                      dtype=jnp.uint32)
+
     def heavy(p_light):
         if collapse_shape is not None:
             # an RLE byte is not a compacted slot: hop through its (dense)
             # collapsed pointer first — the hop target is non-RLE by
             # construction (a literal or a d>=2 slot)
-            pc = jnp.clip(p_light, 0, N)
+            pc0 = jnp.clip(p_light, 0, N)
             m1_pad = jnp.concatenate([m1, jnp.zeros(1, bool)])
-            p_light = jnp.where(m1_pad[pc], ptr_pad[pc], p_light)
-        inv = jnp.full(N + 1, -1, jnp.int32).at[jnp.clip(cidx, 0, N)].set(
-            jnp.arange(expand_cap, dtype=jnp.int32), mode="drop")
-        ti = inv[jnp.clip(p_light, 0, N)]
-        c = jnp.where(ti >= 0, ti, -p_light - 1)
+            p_light = jnp.where(m1_pad[pc0], ptr_pad[pc0], p_light)
+        inb = (p_light >= 0) & (p_light < N)
+        pc = jnp.clip(p_light, 0, Np - 1)
+        s = pc >> 6                                # SEG == 64
+        off = (pc & 63).astype(jnp.uint32)
+        base = mccum[s]
+        lo = mask_lo[s]
+        hi = mask_hi[s]
+        offl = jnp.minimum(off, jnp.uint32(31))
+        offh = jnp.minimum(off - 32, jnp.uint32(31))
+        ml = jnp.where(off < 32, (jnp.uint32(1) << offl) - 1,
+                       jnp.uint32(0xFFFFFFFF))
+        mh = jnp.where(off < 32, jnp.uint32(0),
+                       (jnp.uint32(1) << offh) - 1)
+        cnt = (jax.lax.population_count(lo & ml)
+               + jax.lax.population_count(hi & mh)).astype(jnp.int32)
+        bit = jnp.where(off < 32, (lo >> offl) & 1, (hi >> offh) & 1)
+        slot = base + cnt
+        is_slot = inb & (bit == 1) & (slot < expand_cap)
+        c = jnp.where(is_slot, slot, -p_light - 1)
 
         def h_cond(st):
             _, ch = st

@@ -29,8 +29,7 @@ def main():
     from swift_png_tpu.lz77.deflate import Depths, search_parameters
     from swift_png_tpu.lz77.huffman import lengths_from_frequencies
     from swift_png_tpu.ops import deflate_optimal as DO
-    from swift_png_tpu.ops.deflate import (_emit_tables, pack_terms,
-                                           pack_bits)
+    from swift_png_tpu.ops.deflate import _emit_tables
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -134,28 +133,25 @@ def main():
             t_[:, :, None], (B, rows, 128)).reshape(B * rows, 128
                                                     ).astype(jnp.int32)
 
-    def dp1():
-        return DO.optimal_parse_device(
-            data2, clen_j, cand,
-            stack128(dep_b, 256), stack128(run_b, 256),
-            stack128(dde_b, 32), rdinfo_r, dbase_r,
-            k=DO.KCAND, interpret=False, tpi=TPI)
+    iters = 2
 
-    terms, valid, hist_img = t("DP kernel (1 iter)", dp1)
+    def dpit():
+        return DO._dp_iterated(
+            data2, clen_j, cand, dep_b, run_b, dde_b, rdinfo_r, dbase_r,
+            k=DO.KCAND, interpret=False, tpi=TPI, iters=iters)
 
-    def upd():
-        return jax.vmap(DO._device_depths_update)(hist_img, dep_b, run_b,
-                                                  dde_b)
-
-    t("depths update", upd)
+    terms, valid, hist_img = t(f"DP fused ({iters} iters)", dpit)
 
     def hist_fetch():
         return np.asarray(hist_img).astype(np.int64)
 
     freqs = t("hist fetch (sync)", hist_fetch, sync=lambda r: None)
 
+    from swift_png_tpu.ops.deflate import (max_term_bits, pack_stream32,
+                                           pack_stream32_short)
+
     def tree_build():
-        trees, emit_rows, n_terms_max = [], [], 1
+        trees, emit_rows, shorts = [], [], []
         for i in range(B):
             freq = freqs[i].copy()
             freq[256] += 1
@@ -164,28 +160,32 @@ def main():
                                               force=False)
             trees.append((lit_l, dist_l))
             emit_rows.append(_emit_tables(lit_l, dist_l))
-            n_terms_max = max(n_terms_max, int(freqs[i][:288].sum()))
-        return trees, emit_rows, n_terms_max
+            shorts.append(max_term_bits(lit_l, dist_l, freqs[i]) <= 33)
+        return trees, emit_rows, shorts
 
-    trees, emit_rows, n_terms_max = t("host tree build", tree_build,
-                                      sync=lambda r: None)
-    cap = max(512, 1 << (n_terms_max + 8 - 1).bit_length())
-    print(f"  n_terms_max={n_terms_max} cap={cap}")
+    trees, emit_rows, shorts = t("host tree build", tree_build,
+                                 sync=lambda r: None)
+    n_terms = [int(freqs[i][:288].sum()) for i in range(B)]
+    grid = TPI * 128 * DO.NB
+    print(f"  n_terms_max={max(n_terms)} grid={grid} shorts={shorts[:3]}")
 
     terms_r = terms.reshape(B, TPI, DO.NB, 128)
     valid_r = valid.reshape(B, TPI, DO.NB, 128)
 
-    ctms_b, counts_b = t("compact (vmapped)", lambda: DO._compact_batch(
-        terms_r, valid_r, cap=cap))
+    def flatten():
+        tf = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
+        vm = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
+        return tf, vm
+
+    tf_b, vmask_b = t("grid flatten (skip compact)", flatten)
 
     def packs():
         atoms_list, totals = [], []
         for i in range(B):
-            lanes, nbits = pack_terms(
-                jax.lax.bitcast_convert_type(ctms_b[i], jnp.uint32),
-                *emit_rows[i])
-            valid_c = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
-            atoms, total = pack_bits(lanes, nbits, valid_c)
+            pack = pack_stream32_short if shorts[i] else pack_stream32
+            atoms, total = pack(
+                jax.lax.bitcast_convert_type(tf_b[i], jnp.uint32),
+                vmask_b[i], *emit_rows[i])
             atoms_list.append(atoms)
             totals.append(total)
         return atoms_list, totals
@@ -193,13 +193,11 @@ def main():
     atoms_list, totals = t("pack loop (B images)", packs,
                            sync=lambda r: float(np.asarray(r[1][-1])))
 
-    # single pack pair for scale
     i = 0
-    lanes, nbits = t("  pack_terms (1 img)", lambda: pack_terms(
-        jax.lax.bitcast_convert_type(ctms_b[i], jnp.uint32),
+    pack = pack_stream32_short if shorts[i] else pack_stream32
+    t("  pack_stream32 (1 img)", lambda: pack(
+        jax.lax.bitcast_convert_type(tf_b[i], jnp.uint32), vmask_b[i],
         *emit_rows[i]))
-    valid_c = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
-    t("  pack_bits (1 img)", lambda: pack_bits(lanes, nbits, valid_c))
 
 
 if __name__ == "__main__":
