@@ -242,23 +242,124 @@ def pack_bits32(lo, hi, nbits, valid, *, spans: int = 3):
     return atoms, total
 
 
+def _shift64(plo, phi, s):
+    """Left-shift a 64-bit ``(plo, phi)`` int32 pair by ``s`` (0…63).
+
+    Callers guarantee the shifted value still fits 64 bits (``phi`` is
+    zero whenever ``s >= 32``); bits are logical (sign-safe via the
+    mask-and-shift idiom used throughout the packers)."""
+    sl = s & 31
+    nsl = (32 - sl) & 31
+    lo_sh = plo << sl
+    carry = jnp.where(sl == 0, 0, ((plo >> 1) & 0x7FFFFFFF) >> (nsl - 1))
+    big = s >= 32
+    glo = jnp.where(big, 0, lo_sh)
+    ghi = jnp.where(big, lo_sh, (phi << sl) | carry)
+    return glo, ghi
+
+
+@functools.partial(jax.jit, static_argnames=("spans",))
+def pack_bits32_quad(lo, hi, nbits, valid, *, spans: int = 3):
+    """Quad-combined 32-bit bit packer.
+
+    Scatter cost on this chip is ~8 ns per scatter INDEX, so the lever is
+    index count: four adjacent terms are first merged into one ≤64-bit
+    payload with dense funnel shifts (elementwise, ~200× cheaper per byte
+    than a scatter), and each *combinable* group (total bits ≤ 64) lands
+    with 3 scatter passes over n/4 groups — 0.75·n indices instead of
+    ``spans``·n.  Groups whose total exceeds 64 bits (≥2 long match terms
+    adjacent — rare on real content) fall back to the per-term placement,
+    masked to just those terms.  The prefix sum also shrinks 4×: group
+    offsets come from the group-length cumsum, per-term offsets from the
+    dense intra-group partials.
+
+    ``spans`` bounds the per-TERM fallback placement exactly as in
+    :func:`pack_bits32` (2 when the trees prove ≤ 33 bits per term).
+    Bit-exact vs :func:`pack_bits32` by construction: every (term, bit)
+    lands at the same absolute offset, and all placements are
+    bit-disjoint so the scatter-adds compose.
+    """
+    n = nbits.shape[0]
+    pad = (-n) % 4
+    if pad:
+        lo = jnp.concatenate([lo, jnp.zeros(pad, lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.zeros(pad, hi.dtype)])
+        nbits = jnp.concatenate([nbits, jnp.zeros(pad, nbits.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    nb = jnp.where(valid, nbits, 0)
+    plo = jnp.where(valid, lo, 0)
+    phi = jnp.where(valid, hi, 0)
+    n4 = nb.shape[0] // 4
+    nb4 = nb.reshape(n4, 4)
+    lo4 = plo.reshape(n4, 4)
+    hi4 = phi.reshape(n4, 4)
+    o1 = nb4[:, 0]
+    o2 = o1 + nb4[:, 1]
+    o3 = o2 + nb4[:, 2]
+    gn = o3 + nb4[:, 3]
+    comb = gn <= 64
+    glo = lo4[:, 0]
+    ghi = hi4[:, 0]
+    for k, off in ((1, o1), (2, o2), (3, o3)):
+        sl, sh = _shift64(lo4[:, k], hi4[:, k], off)
+        glo = glo | sl
+        ghi = ghi | sh
+    goffs = jnp.cumsum(gn) - gn
+    total = jnp.sum(gn)
+    natoms = (3 * (n + pad)) // 2 + 8
+    atoms = jnp.zeros(natoms, jnp.int32)
+    # combinable groups: one ≤64-bit payload, 3 spans over n/4 indices
+    a0g = goffs >> 5
+    subg = goffs & 31
+    nsubg = (32 - subg) & 31
+    gvals = [
+        glo << subg,
+        jnp.where(subg == 0, 0,
+                  ((glo >> 1) & 0x7FFFFFFF) >> (nsubg - 1)) | (ghi << subg),
+        jnp.where(subg == 0, 0, ((ghi >> 1) & 0x7FFFFFFF) >> (nsubg - 1)),
+    ]
+    for k in range(3):
+        live = comb & (32 * k < subg + gn) & (gn > 0)
+        atoms = atoms.at[jnp.where(live, a0g + k, natoms)].add(
+            jnp.where(live, gvals[k], 0), mode="drop")
+    # fallback terms (group total > 64 bits): per-term placement
+    toffs = (goffs[:, None]
+             + jnp.stack([jnp.zeros_like(o1), o1, o2, o3], axis=1)
+             ).reshape(-1)
+    tlive = valid & ~jnp.repeat(comb, 4)
+    a0 = toffs >> 5
+    sub = toffs & 31
+    nsub = (32 - sub) & 31
+    vals = [
+        plo << sub,
+        jnp.where(sub == 0, 0,
+                  ((plo >> 1) & 0x7FFFFFFF) >> (nsub - 1)) | (phi << sub),
+        jnp.where(sub == 0, 0, ((phi >> 1) & 0x7FFFFFFF) >> (nsub - 1)),
+    ]
+    for k in range(spans):
+        live = tlive & (32 * k < sub + nb)
+        atoms = atoms.at[jnp.where(live, a0 + k, natoms)].add(
+            jnp.where(live, vals[k], 0), mode="drop")
+    return atoms, total
+
+
 @jax.jit
 def pack_stream32(terms_u32, valid, lit_bits, lit_len, dist_bits,
                   dist_len):
     """Fused 32-bit pack (3-span general form)."""
     lo, hi, nbits = pack_terms32(terms_u32, lit_bits, lit_len,
                                  dist_bits, dist_len)
-    return pack_bits32(lo, hi, nbits, valid, spans=3)
+    return pack_bits32_quad(lo, hi, nbits, valid, spans=3)
 
 
 @jax.jit
 def pack_stream32_short(terms_u32, valid, lit_bits, lit_len, dist_bits,
                         dist_len):
     """Fused 32-bit pack for streams whose max term bits ≤ 33 (proved
-    host-side from the trees): 2 scatter passes instead of 3."""
+    host-side from the trees): quad-combined, 2-span per-term fallback."""
     lo, hi, nbits = pack_terms32(terms_u32, lit_bits, lit_len,
                                  dist_bits, dist_len)
-    return pack_bits32(lo, hi, nbits, valid, spans=2)
+    return pack_bits32_quad(lo, hi, nbits, valid, spans=2)
 
 
 def max_term_bits(lit_lengths, dist_lengths, freq) -> int:

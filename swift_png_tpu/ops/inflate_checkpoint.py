@@ -514,22 +514,37 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
                       dtype=jnp.uint32)
     mask_hi = jnp.sum(full_m2[:, 32:].astype(jnp.uint32) << wsh, axis=1,
                       dtype=jnp.uint32)
+    # every random-access op on this chip pays a multi-ms dispatch floor
+    # on 100K+-index sets, so the three per-segment rank tables are
+    # interleaved into ONE flat table and fetched with one gather of 3·cap
+    # indices instead of three cap-sized gathers
+    rank_tab = jnp.stack(
+        [mccum,
+         jax.lax.bitcast_convert_type(mask_lo, jnp.int32),
+         jax.lax.bitcast_convert_type(mask_hi, jnp.int32)],
+        axis=1).reshape(-1)                        # (3·nseg,)
 
     def heavy(p_light):
+        cap_ = p_light.shape[0]
         if collapse_shape is not None:
             # an RLE byte is not a compacted slot: hop through its (dense)
             # collapsed pointer first — the hop target is non-RLE by
-            # construction (a literal or a d>=2 slot)
+            # construction (a literal or a d>=2 slot).  m1 rides the
+            # pointer table's complement encoding so the hop is ONE
+            # gather, not a mask gather plus a pointer gather.
             pc0 = jnp.clip(p_light, 0, N)
             m1_pad = jnp.concatenate([m1, jnp.zeros(1, bool)])
-            p_light = jnp.where(m1_pad[pc0], ptr_pad[pc0], p_light)
+            cptr = jnp.where(m1_pad, ~ptr_pad, ptr_pad)
+            v = cptr[pc0]
+            p_light = jnp.where(v < 0, ~v, p_light)
         inb = (p_light >= 0) & (p_light < N)
         pc = jnp.clip(p_light, 0, Np - 1)
         s = pc >> 6                                # SEG == 64
         off = (pc & 63).astype(jnp.uint32)
-        base = mccum[s]
-        lo = mask_lo[s]
-        hi = mask_hi[s]
+        g3 = rank_tab[jnp.concatenate([3 * s, 3 * s + 1, 3 * s + 2])]
+        base = g3[:cap_]
+        lo = jax.lax.bitcast_convert_type(g3[cap_:2 * cap_], jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(g3[2 * cap_:], jnp.uint32)
         offl = jnp.minimum(off, jnp.uint32(31))
         offh = jnp.minimum(off - 32, jnp.uint32(31))
         ml = jnp.where(off < 32, (jnp.uint32(1) << offl) - 1,

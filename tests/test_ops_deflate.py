@@ -193,3 +193,39 @@ def test_pack_bits_match_heavy_no_truncation():
     got = dev.atoms_to_bytes(np.asarray(atoms), int(total))
     assert int(total) == 48 * n
     assert got == want[:len(got)]
+
+
+def test_pack_bits32_quad_matches_pack_bits32():
+    """Quad-combined packer is bit-exact vs the per-term 32-bit packer,
+    including >64-bit groups (fallback path), dead lanes, and both span
+    fallbacks."""
+    rng = np.random.default_rng(7)
+    for trial, spans in ((0, 2), (1, 3), (2, 3)):
+        n = 1000 + trial  # exercise the %4 padding too
+        if spans == 2:
+            nbits = rng.integers(1, 34, n).astype(np.int32)
+        else:
+            # mix long (match-like) and short terms so many groups
+            # exceed 64 bits and take the per-term fallback
+            nbits = np.where(rng.random(n) < 0.5,
+                             rng.integers(20, 49, n),
+                             rng.integers(1, 13, n)).astype(np.int32)
+        lo = np.zeros(n, np.int64)
+        hi = np.zeros(n, np.int64)
+        for i, b in enumerate(nbits):
+            p = int(rng.integers(0, 1 << int(b)))
+            lo[i] = p & 0xFFFFFFFF
+            hi[i] = p >> 32
+        valid = rng.random(n) < 0.9
+        lo_j = jnp.asarray(lo.astype(np.uint32).view(np.int32))
+        hi_j = jnp.asarray(hi.astype(np.uint32).view(np.int32))
+        nb_j = jnp.asarray(nbits)
+        vm_j = jnp.asarray(valid)
+        ref_atoms, ref_total = dev.pack_bits32(lo_j, hi_j, nb_j, vm_j,
+                                               spans=3)
+        got_atoms, got_total = dev.pack_bits32_quad(lo_j, hi_j, nb_j,
+                                                    vm_j, spans=spans)
+        assert int(ref_total) == int(got_total)
+        ref = dev.atoms32_to_bytes(np.asarray(ref_atoms), int(ref_total))
+        got = dev.atoms32_to_bytes(np.asarray(got_atoms), int(got_total))
+        assert got == ref
