@@ -122,9 +122,9 @@ def main() -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
     eng = CheckpointInflator(ob=OB, backend="pallas" if on_tpu else "xla")
     prep = eng.prepare(bodies, indexes)
-    expand_cap = eng._pow2(sum(ix.match_bytes for ix in indexes) + 64,
-                           1 << 10)
-    seg_cap = eng._pow2(sum(ix.match_segs for ix in indexes) + 64, 1 << 10)
+    r8k = lambda n: max(1 << 10, -(-n // 8192) * 8192)
+    expand_cap = r8k(sum(ix.match_bytes for ix in indexes) + 64)
+    seg_cap = r8k(sum(ix.match_segs for ix in indexes) + 64)
 
     def inflate():
         if eng.backend == "pallas":
@@ -255,8 +255,9 @@ def main() -> None:
             sixs.append(build_index(s[2:-4], out_size, OB))
         sprep = eng.prepare(sbodies, sixs)
         smatch = sum(ix.match_bytes for ix in sixs)
-        scap = eng._pow2(smatch + 64, 1 << 10)
-        sseg = eng._pow2(sum(ix.match_segs for ix in sixs) + 64, 1 << 10)
+        scap = min(r8k(smatch + 64),
+                   eng._pow2(Bs * sprep["Ui_pad"] * OB))
+        sseg = r8k(sum(ix.match_segs for ix in sixs) + 64)
         scol = CheckpointInflator.auto_collapse(
             smatch, Bs, out_size, sprep["Ui_pad"], OB)
 

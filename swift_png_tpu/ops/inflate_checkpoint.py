@@ -360,9 +360,9 @@ def _fill_rle(out, m1, B, Opad):
                      o2).reshape(-1)
 
 
-def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
-            collapse_shape=None, chase: str = "heavy"):
-    """Compacted pointer-doubling expansion of LZ77 back-references.
+def _expand_legacy(ptr, litv, expand_cap, seg_cap: int | None = None,
+                   collapse_shape=None, chase: str = "heavy"):
+    """Round-3 expansion (scatter-compaction): kept for A/B comparison.
 
     Compaction is two-level (measured: a flat N-sized scatter cost ~31 ms
     at N = 8.6 M — most of the decode tail): first the ``MATCH_SEG``-byte
@@ -582,6 +582,206 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
         head = _fill_rle(out[:Bc * Opadc], m1[:Bc * Opadc], Bc, Opadc)
         out = jnp.concatenate([head, out[Bc * Opadc:]])
     ovf = (jnp.sum(is_m) > expand_cap) | seg_ovf
+    return out, ovf, cidx, jnp.where(cidx < N, src, 0)
+
+
+def _fill_last(rows):
+    """Forward-fill scattered rows: each row takes the nearest row at or
+    before it whose first column is ≥ 0 (the scatter mark).  Associative
+    take-last combine — log-depth dense passes, no gathers."""
+    def comb(a, b):
+        return jnp.where(b[:, :1] >= 0, b, a)
+
+    return jax.lax.associative_scan(comb, rows, axis=0)
+
+
+def _select_bit(lo, hi, o):
+    """Position of the ``o``-th set bit of the 64-bit mask ``(hi, lo)``.
+
+    Dense popcount binary search (uint32 lanes) — garbage (but in-range)
+    for out-of-range ``o``; callers mask by slot validity."""
+    cl = jax.lax.population_count(lo).astype(jnp.int32)
+    use_hi = o >= cl
+    w = jnp.where(use_hi, hi, lo)
+    oo = jnp.where(use_hi, o - cl, o)
+    pos = jnp.where(use_hi, 32, 0)
+    for width in (16, 8, 4, 2, 1):
+        mask = jnp.uint32((1 << width) - 1)
+        c = jax.lax.population_count(w & mask).astype(jnp.int32)
+        go = oo >= c
+        pos = pos + jnp.where(go, width, 0)
+        oo = oo - jnp.where(go, c, 0)
+        w = jnp.where(go, w >> width, w) & mask
+    return pos
+
+
+def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
+            collapse_shape=None, chase: str = "heavy"):
+    """Compacted pointer-doubling expansion of LZ77 back-references.
+
+    The round-3 compaction scattered every gathered-segment byte
+    (``seg_cap·64`` indices ≈ 2 M at B=32 — measured ~10 ns/index, ~21 ms,
+    half the expansion).  This version computes each compact slot's byte
+    position ARITHMETICALLY instead: per-segment 64-bit match masks and
+    slot-base prefix sums are built densely, kept-segment ids come from a
+    64-grouped version of the same trick, per-slot segment rows are
+    forward-filled with an associative scan (no gathers), and the byte
+    offset is a popcount binary search (:func:`_select_bit`).  The only
+    remaining random-access ops are O(slots)-index: one pointer gather,
+    the rank hop, the chase rounds, and the final value scatter.
+
+    Returns ``(out (N,) uint8, ovf, cidx (expand_cap,) int32,
+    src (expand_cap,) uint8)`` — ``cidx`` holds the flat positions of the
+    match bytes (sentinel ``N`` in unused slots) and ``src`` their
+    resolved values (the Adler combine needs both).
+
+    ``collapse_shape``: static ``(B, Opad)`` enables the dense pointer
+    collapse (:func:`_collapse_ptr`) — within-run chains resolve in
+    closed form and d==1 (RLE) bytes are value-filled with zero gathers.
+    In that mode ``cidx``/``src`` cover only the d≥2 match bytes (plus
+    RLE bytes sharing their segments), so callers must checksum from the
+    output bytes (:func:`_adler_batch`), not from kernel literal partials.
+    """
+    from ..lz77.index import MATCH_SEG as SEG
+
+    assert SEG == 64, "slot-rank bit masks assume 64-byte match segments"
+    N = ptr.shape[0]
+    j = jnp.arange(N, dtype=jnp.int32)
+    if collapse_shape is not None and expand_cap >= (N >> 1):
+        # identity-slot mode for match-DOMINATED content: see
+        # _expand_legacy (unchanged; the records path in
+        # inflate_seqcopy is the planned replacement)
+        return _expand_legacy(ptr, litv, expand_cap, seg_cap,
+                              collapse_shape, chase)
+    if collapse_shape is not None:
+        Bc, Opadc = collapse_shape
+        ptr, m1 = _collapse_ptr(ptr)
+        keep_b = (ptr != j) & ~m1
+    else:
+        m1 = None
+        keep_b = ptr != j
+    is_m = ptr != j
+    Np = -(-N // SEG) * SEG
+    nseg = Np // SEG
+    if seg_cap is None:
+        seg_cap = min(nseg, expand_cap)
+    seg_cap = min(seg_cap, nseg)
+
+    # ---- dense per-segment tables (shared by compaction and the hop) --
+    m2 = jnp.pad(is_m.astype(jnp.uint8), (0, Np - N)).reshape(nseg, SEG)
+    k2 = jnp.pad(keep_b.astype(jnp.uint8), (0, Np - N)).reshape(nseg, SEG)
+    seg_has = jnp.sum(k2.astype(jnp.int32), axis=1) > 0
+    m2k = m2 * seg_has[:, None].astype(jnp.uint8)
+    mcnt = jnp.sum(m2k.astype(jnp.int32), axis=1)
+    mccum = _cumsum_mxu(mcnt) - mcnt               # exclusive slot base
+    wsh = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    mask_lo = jnp.sum(m2k[:, :32].astype(jnp.uint32) << wsh, axis=1,
+                      dtype=jnp.uint32)
+    mask_hi = jnp.sum(m2k[:, 32:].astype(jnp.uint32) << wsh, axis=1,
+                      dtype=jnp.uint32)
+    total_slots = jnp.sum(mcnt)
+    nkept = jnp.sum(seg_has.astype(jnp.int32))
+    rank_tab = jnp.stack(
+        [mccum,
+         jax.lax.bitcast_convert_type(mask_lo, jnp.int32),
+         jax.lax.bitcast_convert_type(mask_hi, jnp.int32)],
+        axis=1).reshape(-1)                        # (3·nseg,)
+
+    # ---- kept-segment ids: the same mask/rank trick one level up ----
+    ngrp = -(-nseg // SEG)
+    ghm = jnp.pad(seg_has.astype(jnp.uint32),
+                  (0, ngrp * SEG - nseg)).reshape(ngrp, SEG)
+    gcnt = jnp.sum(ghm.astype(jnp.int32), axis=1)
+    gbase = _cumsum_mxu(gcnt) - gcnt
+    glo = jnp.sum(ghm[:, :32] << wsh, axis=1, dtype=jnp.uint32)
+    ghi = jnp.sum(ghm[:, 32:] << wsh, axis=1, dtype=jnp.uint32)
+    gi = jnp.arange(ngrp, dtype=jnp.int32)
+    gt = jnp.where(gcnt > 0, gbase, seg_cap)       # distinct for gcnt>0
+    gvals = jnp.stack(
+        [gi, gbase,
+         jax.lax.bitcast_convert_type(glo, jnp.int32),
+         jax.lax.bitcast_convert_type(ghi, jnp.int32)], axis=-1)
+    grows = _fill_last(jnp.full((seg_cap, 4), -1, jnp.int32)
+                       .at[gt].set(gvals, mode="drop"))
+    ks = jnp.arange(seg_cap, dtype=jnp.int32)
+    goff = _select_bit(
+        jax.lax.bitcast_convert_type(grows[:, 2], jnp.uint32),
+        jax.lax.bitcast_convert_type(grows[:, 3], jnp.uint32),
+        ks - grows[:, 1])
+    valid_k = ks < nkept
+    seg_ids = jnp.where(valid_k, grows[:, 0] * SEG + goff, nseg)
+
+    # ---- per-slot (segment, base, mask) rows: fill + bit-select ----
+    sid_c = jnp.clip(seg_ids, 0, nseg - 1)
+    g3 = rank_tab[jnp.concatenate([3 * sid_c, 3 * sid_c + 1,
+                                   3 * sid_c + 2])]
+    kbase = g3[:seg_cap]
+    st = jnp.where(valid_k, kbase, expand_cap)     # distinct (mcnt ≥ 1)
+    svals = jnp.stack([seg_ids, kbase, g3[seg_cap:2 * seg_cap],
+                       g3[2 * seg_cap:]], axis=-1)
+    srows = _fill_last(jnp.full((expand_cap, 4), -1, jnp.int32)
+                       .at[st].set(svals, mode="drop"))
+    ss = jnp.arange(expand_cap, dtype=jnp.int32)
+    soff = _select_bit(
+        jax.lax.bitcast_convert_type(srows[:, 2], jnp.uint32),
+        jax.lax.bitcast_convert_type(srows[:, 3], jnp.uint32),
+        ss - srows[:, 1])
+    cidx = jnp.where(ss < total_slots,
+                     jnp.minimum(srows[:, 0] * SEG + soff, N), N)
+    ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
+    p = ptr_pad[jnp.clip(cidx, 0, N)]
+
+    # ---- rank hop + pointer-doubling chase over the slot graph ----
+    # (identical semantics to _expand_legacy's heavy path; matches point
+    # strictly backward ⇒ acyclic ⇒ converges in ~log2(depth) rounds)
+    def heavy(p_light):
+        cap_ = p_light.shape[0]
+        if collapse_shape is not None:
+            pc0 = jnp.clip(p_light, 0, N)
+            m1_pad = jnp.concatenate([m1, jnp.zeros(1, bool)])
+            cptr = jnp.where(m1_pad, ~ptr_pad, ptr_pad)
+            v = cptr[pc0]
+            p_light = jnp.where(v < 0, ~v, p_light)
+        inb = (p_light >= 0) & (p_light < N)
+        pc = jnp.clip(p_light, 0, Np - 1)
+        s = pc >> 6                                # SEG == 64
+        off = (pc & 63).astype(jnp.uint32)
+        g3h = rank_tab[jnp.concatenate([3 * s, 3 * s + 1, 3 * s + 2])]
+        base = g3h[:cap_]
+        lo = jax.lax.bitcast_convert_type(g3h[cap_:2 * cap_], jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(g3h[2 * cap_:], jnp.uint32)
+        offl = jnp.minimum(off, jnp.uint32(31))
+        offh = jnp.minimum(off - 32, jnp.uint32(31))
+        ml = jnp.where(off < 32, (jnp.uint32(1) << offl) - 1,
+                       jnp.uint32(0xFFFFFFFF))
+        mh = jnp.where(off < 32, jnp.uint32(0),
+                       (jnp.uint32(1) << offh) - 1)
+        cnt = (jax.lax.population_count(lo & ml)
+               + jax.lax.population_count(hi & mh)).astype(jnp.int32)
+        bit = jnp.where(off < 32, (lo >> offl) & 1, (hi >> offh) & 1)
+        slot = base + cnt
+        is_slot = inb & (bit == 1) & (slot < expand_cap)
+        c = jnp.where(is_slot, slot, -p_light - 1)
+
+        def h_cond(stc):
+            _, ch = stc
+            return ch
+
+        def h_body(stc):
+            c, _ = stc
+            nxt = jnp.where(c >= 0, c[jnp.clip(c, 0, expand_cap - 1)], c)
+            return nxt, jnp.any(nxt != c)
+
+        c, _ = jax.lax.while_loop(h_cond, h_body, (c, jnp.bool_(True)))
+        return -c - 1
+
+    p = heavy(p)
+    src = litv[jnp.clip(p, 0, N - 1)]
+    out = litv.at[cidx].set(src, mode="drop")
+    if collapse_shape is not None:
+        head = _fill_rle(out[:Bc * Opadc], m1[:Bc * Opadc], Bc, Opadc)
+        out = jnp.concatenate([head, out[Bc * Opadc:]])
+    ovf = (total_slots > expand_cap) | (nkept > seg_cap)
     return out, ovf, cidx, jnp.where(cidx < N, src, 0)
 
 
@@ -991,18 +1191,19 @@ class CheckpointInflator:
         prep = self.prepare(bodies, indexes)
         cap_max = prep["B"] * prep["Ui_pad"] * prep["ob"]
         # the index knows the exact match-byte and match-segment
-        # populations, so the expansion buffers are sized tightly
+        # populations, so the expansion buffers are sized tightly; caps
+        # round to 8K (not pow2 — every compacted op is cap-linear, and
+        # the pow2 padding cost up to 2× on all of them)
+        r8k = lambda n: max(1 << 10, -(-n // 8192) * 8192)
         match_total = sum(int(ix.match_bytes) for ix in indexes)
         if collapse is None:
             collapse = self.auto_collapse(
                 match_total, prep["B"], prep["out_size"], prep["Ui_pad"],
                 prep["ob"])
-        expand_cap = min(self._pow2(match_total + 64, 1 << 10),
-                         self._pow2(cap_max))
+        expand_cap = min(r8k(match_total + 64), self._pow2(cap_max))
         if all(ix.match_segs >= 0 for ix in indexes):
             seg_total = sum(int(ix.match_segs) for ix in indexes)
-            seg_cap = min(self._pow2(seg_total + 64, 1 << 10),
-                          self._pow2(cap_max))
+            seg_cap = min(r8k(seg_total + 64), self._pow2(cap_max))
         else:
             seg_cap = None
         interpret = jax.default_backend() == "cpu"
