@@ -260,13 +260,19 @@ def main() -> None:
         sseg = r8k(sum(ix.match_segs for ix in sixs) + 64)
         scol = CheckpointInflator.auto_collapse(
             smatch, Bs, out_size, sprep["Ui_pad"], OB)
+        from swift_png_tpu.ops.inflate_seqcopy import RECORDS_SMEM_CAP
+
+        sreccap = (min(RECORDS_SMEM_CAP, r8k(max(4096, smatch // 16)))
+                   if scol and (sprep["Ui_pad"] * OB) % 128 == 0
+                   else None)
 
         def sinflate():
             return inflate_indexed_pallas(
                 sprep["kbound"], sprep["spans3"], sprep["meta"],
                 sprep["tabs"], sprep["symtab"], ob=OB, n_streams=Bs,
                 out_size=out_size, expand_cap=scap, S=sprep["S"],
-                interpret=not on_tpu, collapse=scol, seg_cap=sseg)
+                interpret=not on_tpu, collapse=scol, seg_cap=sseg,
+                records_cap=sreccap)
 
         sout, sflag, sadler, _ = sinflate()
         assert int(np.asarray(sflag).max()) == 0

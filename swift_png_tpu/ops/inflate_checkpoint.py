@@ -151,10 +151,13 @@ def decode_tokens(spans, sub0, n_tokens, lit_T, lit_first, lit_offset,
 
 @functools.partial(jax.jit, static_argnames=("ob", "n_streams", "out_size",
                                              "expand_cap", "k_max",
-                                             "collapse"))
+                                             "collapse", "records_cap",
+                                             "interpret"))
 def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
                     *, ob: int, n_streams: int, out_size: int,
-                    expand_cap: int, k_max: int, collapse: bool = False):
+                    expand_cap: int, k_max: int, collapse: bool = False,
+                    records_cap: int | None = None,
+                    interpret: bool = False):
     """Full indexed inflate for ``n_streams`` same-size streams.
 
     Returns ``(out (B, out_size) uint8, flags (U,) int32, adler (B,)
@@ -223,7 +226,8 @@ def inflate_indexed(spans, sub0, n_tokens, skip, lit_lengths, dist_lengths,
         F_BAD, 0)
     flag = flag | jnp.where(jnp.any(live & ~covered, axis=1), F_BAD, 0)
     return _finish(ptr, litv, flag, B, Opad, out_size, expand_cap,
-                   collapse=collapse)
+                   collapse=collapse, records_cap=records_cap,
+                   interpret=interpret)
 
 
 def _cumsum_mxu(x):
@@ -616,7 +620,8 @@ def _select_bit(lo, hi, o):
 
 
 def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
-            collapse_shape=None, chase: str = "heavy"):
+            collapse_shape=None, chase: str = "heavy",
+            records_cap: int | None = None, interpret: bool = False):
     """Compacted pointer-doubling expansion of LZ77 back-references.
 
     The round-3 compaction scattered every gathered-segment byte
@@ -648,9 +653,24 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     N = ptr.shape[0]
     j = jnp.arange(N, dtype=jnp.int32)
     if collapse_shape is not None and expand_cap >= (N >> 1):
-        # identity-slot mode for match-DOMINATED content: see
-        # _expand_legacy (unchanged; the records path in
-        # inflate_seqcopy is the planned replacement)
+        # match-DOMINATED content (smooth/RLE images): sequential-copy
+        # records kernel — exact forward-copy order, no chains, dense
+        # row moves (inflate_seqcopy).  Falls back to the legacy flat
+        # pointer-doubling when records don't apply (records_cap None,
+        # unaligned Opad) or overflow their SMEM budget (caller retries
+        # then drops records_cap).
+        Bc0, Opadc0 = collapse_shape
+        if records_cap is not None and Opadc0 % 128 == 0:
+            from .inflate_seqcopy import build_records, seqcopy_expand
+
+            N0 = Bc0 * Opadc0
+            starts, recs, rovf = build_records(ptr, Bc0, Opadc0,
+                                               records_cap)
+            head = seqcopy_expand(starts, recs, litv[:N0], B=Bc0,
+                                  Opad=Opadc0, interpret=interpret)
+            out = jnp.concatenate([head, litv[N0:]])
+            dummy = jnp.full(1, N, jnp.int32)
+            return out, rovf, dummy, jnp.zeros(1, jnp.uint8)
         return _expand_legacy(ptr, litv, expand_cap, seg_cap,
                               collapse_shape, chase)
     if collapse_shape is not None:
@@ -786,10 +806,12 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
 
 
 def _finish(ptr, litv, flag, B, Opad, out_size, expand_cap,
-            seg_cap: int | None = None, collapse: bool = False):
+            seg_cap: int | None = None, collapse: bool = False,
+            records_cap: int | None = None, interpret: bool = False):
     """Shared tail: compacted pointer-doubling expansion + Adler-32."""
     out, ovf, _, _ = _expand(ptr, litv, expand_cap, seg_cap,
-                             collapse_shape=(B, Opad) if collapse else None)
+                             collapse_shape=(B, Opad) if collapse else None,
+                             records_cap=records_cap, interpret=interpret)
     out2 = out.reshape(B, Opad)
     adler = _adler_batch(out2, out_size)
     return out2[:, :out_size], flag, adler, ovf
@@ -897,7 +919,7 @@ def _adler_from_partials(s1u, s2u, cidx, src, B, Ui, ob, Opad, out_size):
                                              "interpret", "attr16",
                                              "seg_cap", "multiblock",
                                              "has_stored", "collapse",
-                                             "chase"))
+                                             "chase", "records_cap"))
 def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            ob: int, n_streams: int, out_size: int,
                            expand_cap: int, S: int,
@@ -906,7 +928,8 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
                            multiblock: bool = False,
                            has_stored: bool = False,
                            stored_gap=None, collapse: bool = False,
-                           chase: str = "heavy"):
+                           chase: str = "heavy",
+                           records_cap: int | None = None):
     """Indexed inflate with the Pallas decode+stamp kernel.
 
     Same contract as :func:`inflate_indexed`; the token decode,
@@ -977,7 +1000,8 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
 
     out, ovf, cidx, src = _expand(
         ptr, litv, expand_cap, seg_cap,
-        collapse_shape=(B, Opad) if collapse else None, chase=chase)
+        collapse_shape=(B, Opad) if collapse else None, chase=chase,
+        records_cap=records_cap, interpret=interpret)
     out2 = out[:U_live * ob].reshape(B, Opad)
     if collapse:
         # cidx/src cover only d>=2 bytes here (RLE bytes were value-
@@ -1207,6 +1231,16 @@ class CheckpointInflator:
         else:
             seg_cap = None
         interpret = jax.default_backend() == "cpu"
+        # match-dominated batches route the expansion through the
+        # sequential-copy records kernel (inflate_seqcopy); records are
+        # merged uniform-distance runs, so the cap starts well below the
+        # match-byte count and grows (within the SMEM budget) on overflow
+        records_cap = None
+        if collapse and (prep["Ui_pad"] * prep["ob"]) % 128 == 0:
+            from .inflate_seqcopy import RECORDS_SMEM_CAP
+
+            records_cap = min(RECORDS_SMEM_CAP,
+                              r8k(max(4096, match_total // 16)))
         while True:
             if prep["use_pallas"]:
                 out, flag, adler, ovf = inflate_indexed_pallas(
@@ -1218,15 +1252,30 @@ class CheckpointInflator:
                     multiblock=prep["multiblock"],
                     has_stored=prep["has_stored"],
                     stored_gap=prep["stored_gap"]
-                    if prep["has_stored"] else None, collapse=collapse)
+                    if prep["has_stored"] else None, collapse=collapse,
+                    records_cap=records_cap)
             else:
                 out, flag, adler, ovf = inflate_indexed(
                     prep["spans"], prep["sub0"], prep["n_tokens"],
                     prep["skip"], prep["lit"], prep["dist"], ob=prep["ob"],
                     n_streams=prep["B"], out_size=prep["out_size"],
                     expand_cap=expand_cap, k_max=prep["k_max"],
-                    collapse=collapse)
+                    collapse=collapse, records_cap=records_cap,
+                    interpret=interpret)
             if bool(ovf):
+                if records_cap is not None and collapse and (
+                        expand_cap >= (prep["B"] * prep["Ui_pad"]
+                                       * prep["ob"]) >> 1):
+                    # records-mode overflow: grow within SMEM, then
+                    # drop to the legacy flat-doubling path
+                    from .inflate_seqcopy import RECORDS_SMEM_CAP
+
+                    if records_cap < RECORDS_SMEM_CAP:
+                        records_cap = min(records_cap * 4,
+                                          RECORDS_SMEM_CAP)
+                    else:
+                        records_cap = None
+                    continue
                 if expand_cap >= cap_max:
                     raise DecompressionError.invalid_huffman_table()
                 expand_cap = min(expand_cap * 4, self._pow2(cap_max))
