@@ -238,6 +238,7 @@ def main() -> None:
     # skipped on the CPU fallback (interpret-mode Pallas is unboundedly
     # slow) -----------------------------------------------------------
     smooth_gbps = None
+    smooth_lat_gbps = None
     try:
         if tpu_unavailable:
             raise RuntimeError("skip smooth extra on CPU fallback")
@@ -286,7 +287,17 @@ def main() -> None:
             _o, _f, sadler, _v = sinflate()
             _ = float(np.asarray(sadler)[0])
             ts = min(ts, time.perf_counter() - t0)
-        smooth_gbps = round(Bs * out_size / ts / 1e9, 4)
+        smooth_lat_gbps = round(Bs * out_size / ts / 1e9, 4)
+        # steady-state smooth throughput, same discipline as the
+        # headline: P enqueued batches, one sync (FIFO queue)
+        tsp = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(P):
+                _o, _f, sadler, _v = sinflate()
+            _ = float(np.asarray(sadler)[0])
+            tsp = min(tsp, time.perf_counter() - t0)
+        smooth_gbps = round(P * Bs * out_size / tsp / 1e9, 4)
     except Exception:
         pass
 
@@ -308,6 +319,7 @@ def main() -> None:
         result["tpu_unavailable"] = True  # CPU fallback — not a chip number
     if smooth_gbps is not None:
         result["decode_smooth_gbps"] = smooth_gbps
+        result["decode_smooth_latency_gbps"] = smooth_lat_gbps
     if size9 is not None and t9 < float("inf"):
         result["deflate_l9_mbps"] = round(
             sum(len(d) for d in enc_datas) / t9 / 1e6, 2)

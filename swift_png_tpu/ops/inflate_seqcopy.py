@@ -166,10 +166,34 @@ def _seqcopy_kernel(starts_ref, recs_ref, lit_ref, out_ref):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
-    def token(t, _):
-        pos = recs_ref[3 * t]
-        d = recs_ref[3 * t + 1]
-        ln = recs_ref[3 * t + 2]
+    def readline(q):
+        """``(1, 128)`` lanes = output bytes ``q .. q+127`` (pre-pad
+        coordinates; legal sources give ``q >= -127``, landing in the 8
+        leading pad rows; clamp guards hostile inputs — callers reject
+        flagged streams before using the bytes)."""
+        ra = jnp.maximum((q >> 7) + 8, 0)
+        r = q & 127
+        # dynamic sublane access must be 8-aligned: read an aligned
+        # 16-row window; rotates are log-decomposed static slices
+        # (tpu.dynamic_rotate does not lower for i8)
+        base = pl.multiple_of((ra >> 3) << 3, 8)
+        win = out_ref[pl.ds(base, 16), :]
+        s = ra - base
+        for k in (1, 2, 4):
+            win = jnp.where(
+                (s & k) != 0,
+                jnp.concatenate([win[k:], win[:k]], axis=0), win)
+        rot = win[0:2]
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            rot = jnp.where(
+                (r & k) != 0,
+                jnp.concatenate([rot[:, k:], rot[:, :k]], axis=1),
+                rot)
+        return jnp.where(iota < 128 - r, rot[0:1], rot[1:2])
+
+    def generic(pos, d, ln):
+        """Forward copy in ≤128-byte chunks, chunk-doubling through
+        self-overlap — any distance."""
 
         def cond(st):
             c, _ = st
@@ -180,29 +204,7 @@ def _seqcopy_kernel(starts_ref, recs_ref, lit_ref, out_ref):
             tgt = pos + c
             l0 = tgt & 127
             n = jnp.minimum(jnp.minimum(D, ln - c), 128 - l0)
-            q = tgt - D - l0
-            # 8 leading pad rows keep legal sources (q >= -127) in
-            # range; clamp guards memory safety on hostile inputs
-            # (callers reject flagged streams before using the bytes)
-            ra = jnp.maximum((q >> 7) + 8, 0)
-            r = q & 127
-            # dynamic sublane access must be 8-aligned: read an aligned
-            # 16-row window; rotates are log-decomposed static slices
-            # (tpu.dynamic_rotate does not lower for i8)
-            base = pl.multiple_of((ra >> 3) << 3, 8)
-            win = out_ref[pl.ds(base, 16), :]
-            s = ra - base
-            for k in (1, 2, 4):
-                win = jnp.where(
-                    (s & k) != 0,
-                    jnp.concatenate([win[k:], win[:k]], axis=0), win)
-            rot = win[0:2]
-            for k in (1, 2, 4, 8, 16, 32, 64):
-                rot = jnp.where(
-                    (r & k) != 0,
-                    jnp.concatenate([rot[:, k:], rot[:, :k]], axis=1),
-                    rot)
-            comb = jnp.where(iota < 128 - r, rot[0:1], rot[1:2])
+            comb = readline(tgt - D - l0)
             trow = (tgt >> 7) + 8
             tbase = pl.multiple_of((trow >> 3) << 3, 8)
             m = ((iota8 == trow - tbase) & (iota >= l0)
@@ -214,6 +216,64 @@ def _seqcopy_kernel(starts_ref, recs_ref, lit_ref, out_ref):
             return c + n, jnp.where(n == D, 2 * D, D)
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), d))
+        return 0
+
+    def tiled(pos, d, ln):
+        """Pow2 ``d ≤ 128`` (the smooth-content common case: RLE and
+        bpp-periodic runs): the run is ``d``-periodic and ``d | 128``,
+        so one 128-lane tile serves EVERY output row — build it once
+        from the final pattern bytes ``[pos-d, pos)``, then write whole
+        aligned 8-row blocks with no reads and no doubling."""
+        P = readline(pos - d)                  # lanes [0, d) = pattern
+        # periodicize: P[l] ← P[l & (d-1)] by ascending gated doublings
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            P = jnp.where(
+                (d <= k) & ((iota & k) != 0),
+                jnp.concatenate([P[:, 128 - k:], P[:, :128 - k]],
+                                axis=1), P)
+        # phase-align: lane l of ANY row holds byte value for
+        # (l - pos) mod d (row stride 128 ≡ 0 mod d)
+        a = pos & (d - 1)
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            P = jnp.where(
+                (a & k) != 0,
+                jnp.concatenate([P[:, 128 - k:], P[:, :128 - k]],
+                                axis=1), P)
+        tile8 = jnp.broadcast_to(P, (8, 128))
+        rfirst = pos >> 7
+        rlast = (pos + ln - 1) >> 7
+        tb0 = (rfirst >> 3) << 3
+        nblk = (rlast >> 3) - (rfirst >> 3) + 1
+
+        def blk(i, _):
+            tb = tb0 + i * 8
+            start_b = tb * 128
+            full = (start_b >= pos) & (start_b + 1024 <= pos + ln)
+            tbp = pl.multiple_of(tb + 8, 8)
+
+            def full_store(_):
+                out_ref[pl.ds(tbp, 8), :] = tile8
+                return 0
+
+            def rmw(_):
+                flat = (tb + iota8) * 128 + iota
+                m = (flat >= pos) & (flat < pos + ln)
+                cur = out_ref[pl.ds(tbp, 8), :]
+                out_ref[pl.ds(tbp, 8), :] = jnp.where(m, tile8, cur)
+                return 0
+
+            jax.lax.cond(full, full_store, rmw, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, blk, 0)
+        return 0
+
+    def token(t, _):
+        pos = recs_ref[3 * t]
+        d = recs_ref[3 * t + 1]
+        ln = recs_ref[3 * t + 2]
+        jax.lax.cond((d <= 128) & ((d & (d - 1)) == 0), tiled, generic,
+                     pos, d, ln)
         return 0
 
     jax.lax.fori_loop(rs, re, token, 0)
