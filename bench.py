@@ -111,13 +111,30 @@ def main() -> None:
             d.push(b, last=True)
             return d.pull()
 
-    datas, bodies, indexes = [], [], []
+    datas, bodies, indexes, streams = [], [], [], []
     for i in range(B):
         data = _filtered(_image(i, H, W)).tobytes()
         datas.append(data)
         s = compress(data)
+        streams.append(s)
         bodies.append(s[2:-4])
         indexes.append(build_index(s[2:-4], out_size, OB))
+
+    # CPU yardsticks on the SAME streams (single host core) — the honest
+    # context the reference's libpng-relative tables provide
+    # (Benchmarks/README.md): stdlib zlib and our native C++ engine
+    import zlib as _zy
+
+    t0 = time.perf_counter()
+    for s in streams:
+        _zy.decompress(s)
+    yard_zlib = B * out_size / (time.perf_counter() - t0) / 1e9
+    yard_native = None
+    if native.available():
+        t0 = time.perf_counter()
+        for s in streams:
+            native.inflate(s, out_size, "zlib")
+        yard_native = B * out_size / (time.perf_counter() - t0) / 1e9
 
     on_tpu = jax.default_backend() not in ("cpu",)
     eng = CheckpointInflator(ob=OB, backend="pallas" if on_tpu else "xla")
@@ -301,6 +318,61 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- foreign-shaped streams: stdlib zlib-9 output (multi-block
+    # dynamic Huffman, ~41 blocks/image — the content shape of the
+    # reference's benchmark corpus, which measures libpng-produced
+    # files: Benchmarks/README.md:57) through the table-switching
+    # multiblock kernel + host-built indexes -----------------------------
+    foreign_gbps = None
+    try:
+        if tpu_unavailable:
+            raise RuntimeError("skip foreign extra on CPU fallback")
+        import zlib as _zf
+
+        fstreams = [_zf.compress(d, 9) for d in datas]
+        fbodies = [s[2:-4] for s in fstreams]
+        fixs = [build_index(b, out_size, OB) for b in fbodies]
+        if any(ix is None for ix in fixs):
+            raise RuntimeError("foreign stream outside the fast path")
+        fprep = eng.prepare(fbodies, fixs)
+        fmatch = sum(ix.match_bytes for ix in fixs)
+        fcap = r8k(fmatch + 64)
+        fseg = r8k(sum(ix.match_segs for ix in fixs) + 64)
+        fcol = CheckpointInflator.auto_collapse(
+            fmatch, B, out_size, fprep["Ui_pad"], OB)
+        from swift_png_tpu.ops.inflate_seqcopy import RECORDS_SMEM_CAP
+
+        freccap = (min(RECORDS_SMEM_CAP, r8k(max(4096, fmatch // 16)))
+                   if fcol and (fprep["Ui_pad"] * OB) % 128 == 0
+                   else None)
+
+        def finflate():
+            return inflate_indexed_pallas(
+                fprep["kbound"], fprep["spans3"], fprep["meta"],
+                fprep["tabs"], fprep["symtab"], ob=OB, n_streams=B,
+                out_size=out_size, expand_cap=fcap, S=fprep["S"],
+                interpret=not on_tpu, seg_cap=fseg,
+                multiblock=fprep["multiblock"],
+                has_stored=fprep["has_stored"],
+                stored_gap=fprep["stored_gap"]
+                if fprep["has_stored"] else None, collapse=fcol,
+                records_cap=freccap)
+
+        _fo, ffl, fad, _fv = finflate()
+        assert int(np.asarray(ffl).max()) == 0
+        for i in range(B):
+            assert int(np.asarray(fad)[i]) == _zf.adler32(datas[i])
+        tfp = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(P):
+                _fo, _ffl, fad, _fv = finflate()
+            _ = float(np.asarray(fad)[0])
+            tfp = min(tfp, time.perf_counter() - t0)
+        foreign_gbps = round(P * B * out_size / tfp / 1e9, 4)
+    except Exception:
+        pass
+
     nbytes = B * out_size
     gbps = P * nbytes / t_pipe / 1e9
     result = {
@@ -314,12 +386,17 @@ def main() -> None:
         "total_ms": round(best * 1e3, 1),
         "compressed_ratio": round(
             sum(len(b) for b in bodies) / nbytes, 3),
+        "yardstick_zlib_1core_gbps": round(yard_zlib, 4),
     }
+    if yard_native is not None:
+        result["yardstick_native_1core_gbps"] = round(yard_native, 4)
     if tpu_unavailable:
         result["tpu_unavailable"] = True  # CPU fallback — not a chip number
     if smooth_gbps is not None:
         result["decode_smooth_gbps"] = smooth_gbps
         result["decode_smooth_latency_gbps"] = smooth_lat_gbps
+    if foreign_gbps is not None:
+        result["decode_foreign_gbps"] = foreign_gbps
     if size9 is not None and t9 < float("inf"):
         result["deflate_l9_mbps"] = round(
             sum(len(d) for d in enc_datas) / t9 / 1e6, 2)

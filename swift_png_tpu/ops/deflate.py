@@ -343,6 +343,77 @@ def pack_bits32_quad(lo, hi, nbits, valid, *, spans: int = 3):
     return atoms, total
 
 
+@functools.partial(jax.jit, static_argnames=("max_bits", "cap_words"))
+def pack_tournament(lo, hi, nbits, valid, *, max_bits: int = 48,
+                    cap_words: int | None = None):
+    """Scatter-free bit packer: pairwise tournament merge of bitstrings.
+
+    Scatter cost on this chip is per INDEX (~8 ns, largely liveness-
+    independent), so packers built on scatter-adds pay O(n) indices no
+    matter how the events are grouped.  This packer never scatters:
+    adjacent terms merge pairwise — the right term's words are rolled by
+    the left term's word count (log-decomposed static rolls) and funnel-
+    shifted by its bit remainder, all dense elementwise passes — and
+    ``log2(n)`` such levels yield ONE blob whose words are the output
+    atoms.  The per-level buffers are sized by ``max_bits`` per term
+    (pass 34-bit proofs from the trees via ``max_bits``) and clamped to
+    ``cap_words`` (callers bound it by the actual output size, e.g. the
+    uncompressed length — DEFLATE streams that expand are re-emitted as
+    stored blocks anyway), which keeps the deep levels' roll traffic
+    proportional to the real stream, not the worst case.
+
+    Returns ``(atoms (cap,) int32 of 32 bits each, total_bits)``;
+    bit-exact vs :func:`pack_bits32` (same LSB-first placement).
+    """
+    n = nbits.shape[0]
+    np2 = 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
+    pad = np2 - n
+    nb = jnp.where(valid, nbits, 0)
+    wl = jnp.where(valid, lo, 0)
+    wh = jnp.where(valid, hi, 0)
+    if pad:
+        nb = jnp.concatenate([nb, jnp.zeros(pad, nb.dtype)])
+        wl = jnp.concatenate([wl, jnp.zeros(pad, wl.dtype)])
+        wh = jnp.concatenate([wh, jnp.zeros(pad, wh.dtype)])
+    words = jnp.stack([wl, wh], axis=1)            # (np2, 2)
+    bits = nb
+    group = 1
+    while words.shape[0] > 1:
+        group *= 2
+        m = words.shape[0] // 2
+        wn = -(-(group * max_bits) // 32) + 1
+        if cap_words is not None:
+            wn = min(wn, cap_words)
+        wn = max(wn, words.shape[1])
+        a = words[0::2]
+        b = words[1::2]
+        ab = bits[0::2]
+        bb = bits[1::2]
+        padw = wn - words.shape[1]
+        if padw:
+            z = jnp.zeros((m, padw), jnp.int32)
+            a = jnp.concatenate([a, z], axis=1)
+            b = jnp.concatenate([b, z], axis=1)
+        # word-level shift of b by a's word count (static gated rolls;
+        # live words never wrap: occupancy and shift are each ≤ wn/2
+        # whenever the cap is not clamped, and clamped streams fit by
+        # the caller's bound)
+        sw = (ab >> 5)[:, None]
+        k = 1
+        while k < wn:
+            b = jnp.where((sw & k) != 0, jnp.roll(b, k, axis=1), b)
+            k <<= 1
+        # bit-level funnel by the remainder
+        sb = (ab & 31)[:, None]
+        prev = jnp.concatenate([jnp.zeros((m, 1), jnp.int32), b[:, :-1]],
+                               axis=1)
+        carry = jnp.where(sb == 0, 0,
+                          ((prev >> 1) & 0x7FFFFFFF) >> (31 - sb))
+        words = a | (b << sb) | carry
+        bits = ab + bb
+    return words[0], bits[0]
+
+
 @jax.jit
 def pack_stream32(terms_u32, valid, lit_bits, lit_len, dist_bits,
                   dist_len):

@@ -69,41 +69,6 @@ def default_menu(n: int, bpp: int = 4, pitch: int = 0) -> list[int]:
     return out
 
 
-def sampled_menu(data: bytes, n_extra: int = 8) -> list[int]:
-    """Data-driven distances from a host-side sample (native tier probe).
-
-    A cheap stand-in for chain-walk statistics: deflate a small sample at
-    a low level and histogram the match distances that actually occur.
-    """
-    from .. import native
-
-    if not native.available() or len(data) < 4096:
-        return []
-    sample = data[: 1 << 16]
-    try:
-        body = native.deflate(sample, 4, "ios")
-    except Exception:
-        return []
-    # walk tokens with the host index machinery's bit walker is overkill;
-    # reuse the host inflator stats instead: decode and record distances
-    from ..lz77.index import build_index
-
-    try:
-        ix = build_index(body, len(sample), ob=1 << 15)
-    except Exception:
-        return []
-    if ix is None:
-        return []
-    # build_index does not expose distances; fall back to the zlib-level
-    # histogram via the scalar token walk in index building — cheap enough
-    # to re-run here with recording
-    return _walk_distances(body, top=n_extra)
-
-
-def _walk_distances(body: bytes, top: int) -> list[int]:
-    return _walk_stats(body, top)[0]
-
-
 def _walk_stats(body: bytes, top: int):
     """Token walk of a sampled stream: (top distances, lit/dist freqs).
 

@@ -396,19 +396,23 @@ class BatchCodec:
         return outs
 
 
-def decode_indexed(pngs: list[bytes], backend: str = "auto"):
+def decode_indexed(pngs: list[bytes], backend: str = "auto",
+                   bits: int = 8):
     """Batched indexed decode: lex each PNG, read its ``spIx`` checkpoint
     chunk, and run the whole batch through the checkpoint-parallel
     lockstep inflate + wavefront defilter + convolve — the full device
     decode pipeline for indexed files (written by
     ``Image.compress(..., index=True)``).
 
-    Returns ``(B, H, W, 4)`` uint8 pixels on device, or ``None`` when any
-    file is outside the fast path (no index, interlaced, iOS/CgBI) —
-    callers then use :class:`BatchCodec` / ``Image.decompress``.  Every
-    non-interlaced standard format is served: gray/rgb/alpha at 8/16
-    bits, palette and sub-byte depths (per-image palettes and chroma
-    keys ride the batch like :meth:`BatchCodec.decode`).
+    Returns ``(B, H, W, 4)`` pixels on device at the requested target
+    depth (``bits`` = 8 → uint8, 16 → uint16 — the reference's
+    ``unpack(as: RGBA<UInt8/UInt16>)`` pair, ``PNG.Image.swift:1012``),
+    or ``None`` when any file is outside the fast path (no index,
+    interlaced, iOS/CgBI) — callers then use :class:`BatchCodec` /
+    ``Image.decompress``.  Every non-interlaced standard format is
+    served: gray/rgb/alpha at 8/16 bits, palette and sub-byte depths
+    (per-image palettes and chroma keys ride the batch like
+    :meth:`BatchCodec.decode`).
     """
     from ..lz77.index import CheckpointIndex
     from ..ops.inflate_checkpoint import CheckpointInflator
@@ -472,4 +476,5 @@ def decode_indexed(pngs: list[bytes], backend: str = "auto"):
     return decode_stage(filtered, delay=delay, depth=pixel.depth,
                         channels=pixel.channels, width=W,
                         is_indexed=pixel.is_indexed, palette=pal_arr,
-                        has_key=key_arr is not None, key=key_arr, bits=8)
+                        has_key=key_arr is not None, key=key_arr,
+                        bits=bits)

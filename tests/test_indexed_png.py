@@ -97,6 +97,36 @@ def test_decode_indexed_wide_formats(kind):
 
 
 @pytest.mark.skipif(not native.available(), reason="native engine required")
+@pytest.mark.parametrize("kind", ["rgba16", "v16", "rgb16"])
+def test_decode_indexed_16bit_output(kind):
+    """``bits=16`` through the flagship indexed path preserves full
+    16-bit precision (``unpack(as: RGBA<UInt16>)``,
+    ``PNG.Image.swift:1012``) — round-4 fix for the hardcoded 8-bit
+    output."""
+    from swift_png_tpu.png.format import Format, Layout
+
+    rng = np.random.default_rng(abs(hash(kind)) % 2**31)
+    H, W = 40, 36
+    imgs = []
+    for seed in range(2):
+        if kind == "v16":
+            v = rng.integers(0, 1 << 16, (H, W), dtype=np.uint16)
+            px = np.stack([v, v, v, np.full_like(v, 0xFFFF)], axis=-1)
+        else:
+            px = rng.integers(0, 1 << 16, (H, W, 4), dtype=np.uint16)
+            if kind == "rgb16":
+                px[..., 3] = 0xFFFF
+        imgs.append(png.Image.pack(px, Layout(Format(kind, ()), False)))
+    pngs = [im.compress_bytes(level=6, index=True) for im in imgs]
+    pixels = decode_indexed(pngs, backend="xla", bits=16)
+    assert pixels is not None, kind
+    got = np.asarray(pixels)
+    assert got.dtype == np.uint16
+    for i, im in enumerate(imgs):
+        assert np.array_equal(got[i], im.unpack_rgba16()), (kind, i)
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
 def test_decode_indexed_pngsuite_sample():
     """Corpus integration for the widened indexed path: a spread of real
     PngSuite images (gray, palette, alpha, 16-bit, sub-byte) re-encoded

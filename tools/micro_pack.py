@@ -119,10 +119,6 @@ def main():
     chain("pack_terms 1M", jax.jit(pt), jnp.zeros(N, jnp.int32))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def main2():
     """Round-4 A/Bs: quad packer, fused emit-table gather, cumsum sizes."""
     import jax
