@@ -231,41 +231,8 @@ class Image:
         chunk (after the IDAT run) carrying the checkpoint decode index —
         the parallel lockstep inflate's entry points.  The file stays a
         100 % standard PNG; foreign decoders skip the chunk."""
-        stream.signature()
-        header, palette, background, transparency, cgbi, standard = self.encode_chunks()
-        if cgbi is not None:
-            stream.format(chunks.CgBI, cgbi)
-        stream.format(chunks.IHDR, header.serialized)
-        md = self.metadata
-        if md.chromaticity is not None:
-            stream.format(chunks.cHRM, md.chromaticity.serialized)
-        if md.gamma is not None:
-            stream.format(chunks.gAMA, md.gamma.serialized)
-        if md.color_rendering is not None:
-            stream.format(chunks.sRGB, md.color_rendering.serialized)
-        if md.color_profile is not None:
-            stream.format(chunks.iCCP, md.color_profile.serialized)
-        if md.significant_bits is not None:
-            stream.format(chunks.sBIT, md.significant_bits.serialized)
-        if palette is not None:
-            stream.format(chunks.PLTE, palette.serialized)
-        if background is not None:
-            stream.format(chunks.bKGD, background.serialized)
-        if transparency is not None:
-            stream.format(chunks.tRNS, transparency.serialized)
-        if md.histogram is not None:
-            stream.format(chunks.hIST, md.histogram.serialized)
-        if md.physical_dimensions is not None:
-            stream.format(chunks.pHYs, md.physical_dimensions.serialized)
-        if md.time is not None:
-            stream.format(chunks.tIME, md.time.serialized)
-        for text in md.text:
-            stream.format(chunks.iTXt, text.serialized)
-        for spal in md.suggested_palettes:
-            stream.format(chunks.sPLT, spal.serialized)
-        for (type_, data) in md.application:
-            stream.format(type_, data)
-
+        standard = write_pre_idat(stream, self.size, self.layout,
+                                  self.metadata)
         encoder = Encoder(standard, self.layout.interlaced, level, hint,
                           engine)
         idats = [] if index else None
@@ -355,3 +322,56 @@ class Image:
         else:
             storage = target.pack(pixels.reshape(y * x, -1), layout.format)
         return cls((x, y), layout, metadata or Metadata(), storage)
+
+
+def write_pre_idat(stream: ByteDestination, size, layout: Layout,
+                   metadata: Metadata) -> str:
+    """Signature + every pre-IDAT chunk in the reference's exact emission
+    order (``PNG.Image.compress``, ``PNG.Image.swift:589-656``).
+
+    Shared by :meth:`Image.compress` and the batched encoder
+    (:meth:`swift_png_tpu.parallel.batch.BatchCodec.encode`), so both
+    paths write byte-identical containers.  Returns the stream standard
+    (``COMMON``/``IOS``)."""
+    stream.signature()
+    fmt = layout.format
+    if fmt.kind == "bgr8":
+        cgbi, standard = bytes([48, 0, 32, 6]), IOS
+    elif fmt.kind == "bgra8":
+        cgbi, standard = bytes([48, 0, 32, 2]), IOS
+    else:
+        cgbi, standard = None, COMMON
+    header = parsing.Header(size, fmt.pixel, layout.interlaced)
+    if cgbi is not None:
+        stream.format(chunks.CgBI, cgbi)
+    stream.format(chunks.IHDR, header.serialized)
+    md = metadata
+    if md.chromaticity is not None:
+        stream.format(chunks.cHRM, md.chromaticity.serialized)
+    if md.gamma is not None:
+        stream.format(chunks.gAMA, md.gamma.serialized)
+    if md.color_rendering is not None:
+        stream.format(chunks.sRGB, md.color_rendering.serialized)
+    if md.color_profile is not None:
+        stream.format(chunks.iCCP, md.color_profile.serialized)
+    if md.significant_bits is not None:
+        stream.format(chunks.sBIT, md.significant_bits.serialized)
+    if layout.palette is not None:
+        stream.format(chunks.PLTE, layout.palette.serialized)
+    if layout.background is not None:
+        stream.format(chunks.bKGD, layout.background.serialized)
+    if layout.transparency is not None:
+        stream.format(chunks.tRNS, layout.transparency.serialized)
+    if md.histogram is not None:
+        stream.format(chunks.hIST, md.histogram.serialized)
+    if md.physical_dimensions is not None:
+        stream.format(chunks.pHYs, md.physical_dimensions.serialized)
+    if md.time is not None:
+        stream.format(chunks.tIME, md.time.serialized)
+    for text in md.text:
+        stream.format(chunks.iTXt, text.serialized)
+    for spal in md.suggested_palettes:
+        stream.format(chunks.sPLT, spal.serialized)
+    for (type_, data) in md.application:
+        stream.format(type_, data)
+    return standard
