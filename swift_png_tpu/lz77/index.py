@@ -44,7 +44,7 @@ from .errors import DecompressionError
 __all__ = ["CheckpointIndex", "build_index", "INDEX_VERSION", "MATCH_SEG",
            "FIXED_LIT_LENGTHS", "FIXED_DIST_LENGTHS"]
 
-INDEX_VERSION = 3
+INDEX_VERSION = 4
 MATCH_SEG = 64   # output bytes per match-segment (expansion compaction)
 
 KIND_HUFFMAN = 0
@@ -90,9 +90,13 @@ class CheckpointIndex:
                                # of the boundary EOB to the next block's
                                # first token (0 ⇒ unit may not cross)
     gap_off: np.ndarray | None = None     # (U,) uint16 — stored units
-                               # only: local byte offset where a 5-byte
-                               # stored-block header interrupts the copy
-                               # source (GAP_NONE ⇒ contiguous)
+                               # only: local byte offset where stored
+                               # headers interrupt the copy source
+                               # (GAP_NONE ⇒ contiguous)
+    gap_len: np.ndarray | None = None     # (U,) uint16 — bytes skipped at
+                               # gap_off: 5 per header crossed (flush
+                               # markers between stored blocks stack;
+                               # v3 and older indexes imply 5)
     pair_steps: np.ndarray | None = None  # (U,) uint32 — lockstep steps
                                # when the kernel absorbs a literal that
                                # follows a literal or match in the same
@@ -113,6 +117,9 @@ class CheckpointIndex:
             self.eob_jump = np.zeros(U, np.uint32)
         if self.gap_off is None:
             self.gap_off = np.full(U, GAP_NONE, np.uint16)
+        if self.gap_len is None:
+            self.gap_len = np.where(self.gap_off != GAP_NONE, 5,
+                                    0).astype(np.uint16)
 
     @property
     def units(self) -> int:
@@ -181,11 +188,12 @@ class CheckpointIndex:
             ps = (int(self.pair_steps[u]) if self.pair_steps is not None
                   else int(self.n_tokens[u]))
             out += ps.to_bytes(2, "big")
+            out += int(self.gap_len[u]).to_bytes(2, "big")
         return bytes(out)
 
     @classmethod
     def parse(cls, data: bytes) -> "CheckpointIndex":
-        if not data or data[0] not in (1, 2, 3):
+        if not data or data[0] not in (1, 2, 3, 4):
             raise ValueError("unsupported checkpoint index version")
         ver = data[0]
         ob = int.from_bytes(data[1:5], "big")
@@ -209,7 +217,7 @@ class CheckpointIndex:
             o += 288
             dist[b] = np.frombuffer(data[o:o + 32], np.uint8)
             o += 32
-        rs = {1: 8, 2: 17, 3: 19}[ver]
+        rs = {1: 8, 2: 17, 3: 19, 4: 21}[ver]
         rec = np.frombuffer(data[o:o + rs * U], np.uint8).reshape(U, rs)
         deltas = (rec[:, 0].astype(np.uint64) << 24 |
                   rec[:, 1].astype(np.uint64) << 16 |
@@ -227,12 +235,16 @@ class CheckpointIndex:
                   rec[:, 13].astype(np.uint32) << 8 | rec[:, 14])
             gp = ((rec[:, 15].astype(np.uint16) << 8)
                   | rec[:, 16]).astype(np.uint16)
+        gl = None
         if ver >= 3:
             ps = ((rec[:, 17].astype(np.uint32) << 8) | rec[:, 18])
+        if ver >= 4:
+            gl = ((rec[:, 19].astype(np.uint16) << 8)
+                  | rec[:, 20]).astype(np.uint16)
         return cls(ob=ob, out_size=out_size, bit_pos=bit_pos, skip=skip,
                    n_tokens=n_tokens, lit_lengths=lit, dist_lengths=dist,
                    end_bit=end_bit, unit_block=ub, unit_kind=uk,
-                   eob_jump=ej, gap_off=gp, pair_steps=ps)
+                   eob_jump=ej, gap_off=gp, pair_steps=ps, gap_len=gl)
 
 
 class _BitWalker:
@@ -325,8 +337,8 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
                 # keep the host taxonomy for malformed streams
                 raise DecompressionError.invalid_huffman_table()
             if r is not None:
-                (bit_pos, skip, n_tokens, ub, uk, ej, gp, ps, lit, dist,
-                 end_bit, mb, ms) = r
+                (bit_pos, skip, n_tokens, ub, uk, ej, gp, gl, ps, lit,
+                 dist, end_bit, mb, ms) = r
                 if uk.any() and not lit.any():
                     # all-stored stream: dummy fixed table column
                     lit = FIXED_LIT_LENGTHS[None, :]
@@ -337,7 +349,7 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
                     n_tokens=n_tokens.astype(np.uint32),
                     lit_lengths=lit, dist_lengths=dist, end_bit=end_bit,
                     match_bytes=mb, match_segs=ms, unit_block=ub,
-                    unit_kind=uk, eob_jump=ej, gap_off=gp,
+                    unit_kind=uk, eob_jump=ej, gap_off=gp, gap_len=gl,
                     pair_steps=ps.astype(np.uint32))
             return None  # outside the fast path (host walker agrees)
     except ImportError:
@@ -363,6 +375,7 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
     unit_kind = np.zeros(U, np.uint8)
     eob_jump = np.zeros(U, np.uint32)
     gap_off = np.full(U, GAP_NONE, np.uint16)
+    gap_len = np.zeros(U, np.uint16)
     pair_steps = np.zeros(U, np.uint32)
     blocks: list[tuple[np.ndarray, np.ndarray]] = []
 
@@ -386,9 +399,11 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
     pending_end = 0
     # open stored chain: a stored block ended mid-unit; the next block
     # must also be stored (its data continues the unit's copy source
-    # after the 5-byte LEN/NLEN header — stored ends are byte-aligned,
-    # so the inter-block gap is always exactly 5 bytes)
+    # after the inter-block headers — stored ends are byte-aligned, so
+    # the gap is 5 bytes per header crossed: one LEN/NLEN header, plus 5
+    # per empty stored flush marker stacked in between)
     stored_open = False
+    chain_gap = 0
 
     while True:
         if w.pos + 3 > nbits:
@@ -412,10 +427,12 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                 raise DecompressionError.invalid_huffman_table()
             if ln == 0 and stored_open:
                 # an empty stored block (a flush marker) inside an open
-                # stored chain widens the copy-source gap past the single
-                # 5-byte header the device fill skips — outside the v2
-                # structural limits, fall back to the general engines
-                return None
+                # stored chain stacks another 5-byte header onto the
+                # copy-source gap (v4 records the width per unit)
+                chain_gap += 5
+                if final:
+                    break
+                continue
             if ln > 0:
                 if pending_unit >= 0:
                     return None  # unit mixes tokens and a stored copy
@@ -424,12 +441,13 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                 if o % ob != 0:
                     # mid-unit entry: legal only when continuing a
                     # stored chain (the unit's copy source resumes after
-                    # the 5-byte header → record the gap)
+                    # the accumulated headers → record the gap)
                     if not stored_open:
                         return None  # huffman/stored mixed unit
                     if gap_off[unit] != GAP_NONE:
                         return None  # two gaps in one unit
                     gap_off[unit] = o % ob
+                    gap_len[unit] = chain_gap + 5
                 end_o = o + ln
                 first_u = o // ob if o % ob == 0 else o // ob + 1
                 for u in range(first_u, (end_o + ob - 1) // ob):
@@ -444,6 +462,7 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                 toks = 0
                 unit_open = False
                 stored_open = end_o % ob != 0 and end_o != out_size
+                chain_gap = 0
             w.pos = (db0 + ln) * 8
             if final:
                 break
@@ -471,18 +490,16 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
             raise DecompressionError.invalid_huffman_table()
         litlut_l = litlut.tolist()
         distlut_l = distlut.tolist()
-        if pending_unit >= 0:
-            if eob_jump[pending_unit] != 0:
-                return None  # second boundary in one unit
-            jump = w.pos - pending_end
-            if jump <= 0 or jump > 0xFFFFFFFF:
-                return None
-            eob_jump[pending_unit] = jump
-            pending_unit = -1
+        # a pending boundary jump is finalized at this block's FIRST
+        # token — not here — so empty flush blocks (header + EOB, no
+        # output) fold into the jump instead of consuming the unit's
+        # single table switch (round-4 widening; such blocks appear in
+        # zlib Z_FULL_FLUSH output between data blocks)
 
         # ---- token walk -----------------------------------------------
         pos = w.pos
         eob = False
+        first = True
         while True:
             if pos + 15 > nbits and pos + 1 > nbits:
                 raise DecompressionError.invalid_huffman_table()
@@ -493,6 +510,24 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
             ln2, sym = e >> 16, e & 0xFFFF
             if ln2 == 0 or pos + ln2 > nbits:
                 raise DecompressionError.invalid_huffman_table()
+            if first and pending_unit >= 0:
+                if sym == 256 and unit_open and not final:
+                    # empty block: fold header+EOB into the pending jump
+                    # (and drop its tables — the crossing unit's second
+                    # table column is unit_block+1, the next REAL block)
+                    blocks.pop()
+                    pos += ln2
+                    pending_end = pos
+                    eob = True
+                    break
+                if eob_jump[pending_unit] != 0:
+                    return None  # second boundary in one unit
+                jump = pos - pending_end
+                if jump <= 0 or jump > 0xFFFFFFFF:
+                    return None
+                eob_jump[pending_unit] = jump
+                pending_unit = -1
+            first = False
             if sym == 256:
                 if unit_open and not final:
                     toks += 1  # boundary EOB: zero-output token
@@ -599,4 +634,4 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
         n_tokens=n_tokens, lit_lengths=lit, dist_lengths=dist,
         end_bit=w.pos, match_bytes=match_bytes, match_segs=match_segs,
         unit_block=unit_block, unit_kind=unit_kind, eob_jump=eob_jump,
-        gap_off=gap_off, pair_steps=pair_steps)
+        gap_off=gap_off, gap_len=gap_len, pair_steps=pair_steps)

@@ -120,7 +120,7 @@ def _load():
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
-                                    ctypes.c_void_p]
+                                    ctypes.c_void_p, ctypes.c_void_p]
     lib.spt_filter_select.restype = ctypes.c_int
     lib.spt_filter_select.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,
@@ -295,11 +295,12 @@ MAX_INDEX_BLOCKS = 4096
 
 
 def build_index(body: bytes, out_size: int, ob: int = 256):
-    """Native checkpoint-index walk (``lz77/index.py`` fast path, v3).
+    """Native checkpoint-index walk (``lz77/index.py`` fast path, v4).
 
     Returns ``(bit_pos, skip, n_tokens, unit_block, unit_kind, eob_jump,
-    gap_off, pair_steps, lit_lengths (NB, 288), dist_lengths (NB, 32),
-    end_bit, match_bytes, match_segs)`` or ``None`` when the stream is
+    gap_off, gap_len, pair_steps, lit_lengths (NB, 288), dist_lengths
+    (NB, 32), end_bit, match_bytes, match_segs)`` or ``None`` when the
+    stream is
     outside the fast path (token/stored-mixed units, >1 boundary per
     unit, > ``MAX_INDEX_BLOCKS`` blocks, record-range overflow); raises
     :class:`NativeError` on malformed streams.
@@ -317,6 +318,7 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
     unit_kind = np.zeros(U, np.uint8)
     eob_jump = np.zeros(U, np.uint32)
     gap_off = np.zeros(U, np.uint32)
+    gap_len = np.zeros(U, np.uint32)
     pair_steps = np.zeros(U, np.uint32)
     lit = np.zeros((MAX_INDEX_BLOCKS, 288), np.uint8)
     dist = np.zeros((MAX_INDEX_BLOCKS, 32), np.uint8)
@@ -326,7 +328,8 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
                             bit_pos.ctypes.data, skip.ctypes.data,
                             n_tokens.ctypes.data, unit_block.ctypes.data,
                             unit_kind.ctypes.data, eob_jump.ctypes.data,
-                            gap_off.ctypes.data, pair_steps.ctypes.data,
+                            gap_off.ctypes.data, gap_len.ctypes.data,
+                            pair_steps.ctypes.data,
                             lit.ctypes.data,
                             dist.ctypes.data, info.ctypes.data)
     if r < 0:
@@ -335,6 +338,7 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
         return None
     nb = max(int(info[3]), 1)
     return (bit_pos, skip, n_tokens, unit_block.astype(np.int32),
-            unit_kind, eob_jump, gap_off.astype(np.uint16), pair_steps,
+            unit_kind, eob_jump, gap_off.astype(np.uint16),
+            gap_len.astype(np.uint16), pair_steps,
             lit[:nb].copy(), dist[:nb].copy(),
             int(info[0]), int(info[1]), int(info[2]))

@@ -21,7 +21,7 @@ extern "C" {
 // rebuilds) a library whose version doesn't match, so a stale cached .so
 // can never be called through a new ABI (e.g. spt_build_index gained a
 // pair_steps pointer for v3 indexes).
-int spt_abi_version() { return 4; }
+int spt_abi_version() { return 5; }
 
 // ---------------------------------------------------------------------------
 // checksums
@@ -562,7 +562,11 @@ int spt_defilter_batch(uint8_t* rows, int count, int H, int pitch, int bpp,
 // tables.  v2 handles any mix of dynamic/fixed/stored blocks within the
 // structural limits the lockstep kernel supports: at most one block
 // boundary per unit (recorded as an `eob_jump` over the next header) and
-// stored regions that cross units only via 5-byte inter-block gaps.
+// stored regions that cross units only via recorded inter-block gaps
+// (5 bytes per header crossed; flush markers between stored blocks
+// stack into gap_len).  Empty dynamic blocks (Z_FULL_FLUSH markers
+// between data blocks) fold into the boundary jump instead of spending
+// the unit's single table switch.
 // Returns the unit count, 0 when the stream is outside the fast path
 // (caller falls back to the general engines), or a negative error.
 
@@ -617,7 +621,8 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                           uint64_t* bit_pos, uint32_t* skip,
                           uint32_t* n_tokens, uint32_t* unit_block,
                           uint8_t* unit_kind, uint32_t* eob_jump,
-                          uint32_t* gap_off, uint32_t* pair_steps,
+                          uint32_t* gap_off, uint32_t* gap_len,
+                          uint32_t* pair_steps,
                           uint8_t* lit_lengths,
                           uint8_t* dist_lengths, uint64_t* info) {
     if (!out_size || n < 4 || ob < 64) return 0;
@@ -628,7 +633,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
     for (uint64_t u = 0; u < U; u++) {
         bit_pos[u] = 0; skip[u] = 0; n_tokens[u] = 0;
         unit_block[u] = 0; unit_kind[u] = 0; eob_jump[u] = 0;
-        gap_off[u] = GAP_NONE; pair_steps[u] = 0;
+        gap_off[u] = GAP_NONE; gap_len[u] = 0; pair_steps[u] = 0;
     }
     uint64_t o = 0, unit = 0, unit_end = ob, toks = 0, match_bytes = 0;
     uint64_t match_segs = 0;
@@ -639,6 +644,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
     uint64_t psteps = 0;
     bool pend_open = false;
     bool unit_open = false, stored_open = false;
+    uint32_t chain_gap = 0;
     long long pending_unit = -1;
     uint64_t pending_end = 0;
     uint32_t n_blocks = 0;
@@ -660,9 +666,13 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
             uint64_t db0 = br.byte_cursor();
             if ((db0 + len) > n) return SPT_E_TABLE;
             // an empty stored block (flush marker) inside an open stored
-            // chain widens the copy-source gap past the single 5-byte
-            // header the device fill skips — outside the v2 limits
-            if (len == 0 && stored_open) return 0;
+            // chain stacks another 5-byte header onto the copy-source
+            // gap (recorded per unit in gap_len)
+            if (len == 0 && stored_open) {
+                chain_gap += 5;
+                if (final_) break;
+                continue;
+            }
             if (len > 0) {
                 if (pending_unit >= 0) return 0;  // token/stored mix
                 if (o + len > out_size) return 0;
@@ -670,6 +680,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                     if (!stored_open) return 0;   // huffman/stored mix
                     if (gap_off[unit] != GAP_NONE) return 0;  // two gaps
                     gap_off[unit] = (uint32_t)(o % ob);
+                    gap_len[unit] = chain_gap + 5;
                 }
                 uint64_t end_o = o + len;
                 uint64_t first_u = (o % ob == 0) ? o / ob : o / ob + 1;
@@ -686,6 +697,7 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                 toks = 0;
                 unit_open = false;
                 stored_open = end_o % ob != 0 && end_o != out_size;
+                chain_gap = 0;
             }
             // seek past the stored data (byte-aligned)
             br.pos = db0 + len;
@@ -713,22 +725,36 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
         } else {
             dist_table.assign(2, 0);
         }
-        if (pending_unit >= 0) {
-            if (eob_jump[pending_unit] != 0) return 0;  // 2nd boundary
-            uint64_t cur = br.pos * 8 - br.bits;
-            if (cur <= pending_end || cur - pending_end > 0xFFFFFFFFull)
-                return 0;
-            eob_jump[pending_unit] = (uint32_t)(cur - pending_end);
-            pending_unit = -1;
-        }
+        // a pending boundary jump is finalized at this block's FIRST
+        // token (below) so empty flush blocks fold into the jump
 
         // ---- token walk -----------------------------------------------
         bool eob = false;
+        bool first_tok = true;
         for (;;) {
             uint64_t tbit = br.pos * 8 - br.bits;
             uint32_t e = lit_table[br.peek(lit_w)];
             int l = e >> 16, sym = e & 0xFFFF;
             if (!l || br.overrun()) return SPT_E_TABLE;
+            if (first_tok && pending_unit >= 0) {
+                if (sym == 256 && unit_open && !final_) {
+                    // empty block: fold header+EOB into the jump and
+                    // drop its tables (the crossing unit's second table
+                    // column is unit_block+1, the next REAL block)
+                    n_blocks--;
+                    br.drop(l);
+                    pending_end = br.pos * 8 - br.bits;
+                    eob = true;
+                    break;
+                }
+                if (eob_jump[pending_unit] != 0) return 0;  // 2nd bound
+                if (tbit <= pending_end ||
+                    tbit - pending_end > 0xFFFFFFFFull)
+                    return 0;
+                eob_jump[pending_unit] = (uint32_t)(tbit - pending_end);
+                pending_unit = -1;
+            }
+            first_tok = false;
             br.drop(l);
             uint64_t tlen = 0;
             if (sym == 256) {

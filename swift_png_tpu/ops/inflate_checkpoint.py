@@ -942,10 +942,12 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     ``multiblock`` selects the table-switching kernel (units may cross
     one DEFLATE block boundary; ``meta`` row 3 carries the per-unit EOB
     jump).  ``has_stored`` enables the stored-unit byte fill:
-    ``stored_gap`` is ``(U_pad,) int32`` — ``-1`` for token units, else
-    the local offset where a 5-byte stored header interrupts the copy
-    source (``>= ob`` for contiguous copies); stored units' bytes are
-    unpacked densely from their spans (no kernel work, no gathers).
+    ``stored_gap`` is ``(2, U_pad) int32`` — row 0 is ``-1`` for token
+    units, else the local offset where stored-block headers interrupt
+    the copy source (``>= ob`` for contiguous copies); row 1 is the gap
+    width in bytes (5 per header crossed — flush markers between stored
+    blocks stack).  Stored units' bytes are unpacked densely from their
+    spans (no kernel work, no gathers).
     """
     from .inflate_pallas import SENTINEL, decode_stamp_pallas
 
@@ -972,15 +974,19 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     uncovered = attr == SENTINEL
 
     if has_stored:
-        stored = (stored_gap >= 0)[:, None]             # (U_pad, 1)
+        goff = stored_gap[0]
+        glen = stored_gap[1]
+        stored = (goff >= 0)[:, None]                   # (U_pad, 1)
         # dense byte unpack of each stored unit's span head; the copy
-        # source skips 5 bytes at the recorded gap offset
+        # source skips the recorded gap (stored headers + any stacked
+        # flush markers) at the recorded offset
         spw = jnp.transpose(spans3, (0, 1, 3, 2)).reshape(U_pad, S)
         sb = jnp.stack([spw & 255, (spw >> 8) & 255,
                         (spw >> 16) & 255, (spw >> 24) & 255],
                        axis=-1).reshape(U_pad, S * 4).astype(jnp.uint8)
-        after = b >= jnp.where(stored_gap >= 0, stored_gap, ob)[:, None]
-        sbytes = jnp.where(after, sb[:, 5:5 + ob], sb[:, :ob])
+        after = b >= jnp.where(goff >= 0, goff, ob)[:, None]
+        idx = b + jnp.where(after, glen[:, None], 0)
+        sbytes = jnp.take_along_axis(sb, idx, axis=1)
         litv = jnp.where(stored & live, sbytes, litv)
         uncovered = uncovered & ~stored
         # stored bytes are literals for the checksum: add their partials
@@ -1069,8 +1075,9 @@ class CheckpointInflator:
         U = -(-U_live // TUB) * TUB if pallas else U_live
         has_stored = any(ix.unit_kind.any() for ix in indexes)
         span_bytes = max(ix.max_span_bytes() for ix in indexes)
+        gmax = max([5] + [int(ix.gap_len.max()) for ix in indexes])
         if has_stored:
-            span_bytes = max(span_bytes, ob + 9)
+            span_bytes = max(span_bytes, ob + 9 + gmax)
         if pallas:
             S = -(-((span_bytes + 3) // 4) // 8) * 8
         else:
@@ -1084,6 +1091,7 @@ class CheckpointInflator:
         owned = np.zeros(U, np.int32)
         jump = np.zeros(U, np.int32)
         sgap = np.full(U, -1, np.int32)
+        sglen = np.zeros(U, np.int32)
         tab_a = np.zeros(U, np.int64)   # per-unit block-table ids into the
         tab_b = np.zeros(U, np.int64)   # stacked all-streams table pool
         pool_lit: list[np.ndarray] = []
@@ -1118,6 +1126,9 @@ class CheckpointInflator:
             sgap[base: base + Ui] = np.where(
                 st, np.where(ix.gap_off == GAP_NONE, ob,
                              ix.gap_off.astype(np.int32)), -1)
+            sglen[base: base + Ui] = np.where(
+                st & (ix.gap_off != GAP_NONE),
+                ix.gap_len.astype(np.int32), 0)
             p0 = len(pool_lit)
             NBi = ix.n_blocks
             for bnum in range(NBi):
@@ -1199,7 +1210,8 @@ class CheckpointInflator:
             kb = np.where(lit_mode, -(-kb // 2),
                           np.where(pair_mode, pb, kb)).astype(np.int32)
             prep["kbound"] = jnp.asarray(np.stack([kb, mode], axis=1))
-            prep["stored_gap"] = jnp.asarray(sgap) if has_stored else None
+            prep["stored_gap"] = (jnp.asarray(np.stack([sgap, sglen]))
+                                  if has_stored else None)
         else:
             prep.update(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),
                         n_tokens=jnp.asarray(n_tokens),

@@ -306,11 +306,12 @@ def test_deep_chain_expansion_resolves():
     assert bytes(outp[0]) == data
 
 
-def test_flush_marker_in_stored_chain_falls_back():
+def test_flush_marker_in_stored_chain_rides_fast_path():
     """A Z_FULL_FLUSH between stored blocks (incompressible data) widens
-    the inter-block gap to two 5-byte headers; the index must reject the
-    stream (outside the v2 single-gap limit) so callers fall back to the
-    general engines — which must decode it bit-exact."""
+    the inter-block gap to two 5-byte headers.  Round 3 rejected the
+    shape; the v4 index records the gap width per unit, so the stream
+    now rides the indexed fast path bit-exact (and the general engines
+    still agree)."""
     rng = np.random.default_rng(7)
     base = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
     co = zlib.compressobj(6)
@@ -318,15 +319,14 @@ def test_flush_marker_in_stored_chain_falls_back():
                        co.flush(zlib.Z_FULL_FLUSH),
                        co.compress(base[20_000:]), co.flush()])
     body = stream[2:-4]
-    assert build_index(body, len(base), 256) is None
-    from swift_png_tpu import native
-
-    if native.available():
-        assert native.build_index(body, len(base), 256) is None
+    ix = build_index(body, len(base), 256)
+    assert ix is not None
+    assert int(ix.gap_len.max()) == 10
     eng = CheckpointInflator(ob=256, backend="pallas")
-    assert eng.inflate_zlib_batch([stream], len(base),
-                                  keep_on_device=False) is None
-    # the fallback engines handle it
+    out = eng.inflate_zlib_batch([stream], len(base),
+                                 keep_on_device=False)
+    assert out is not None and bytes(out[0].tobytes()) == base
+    # the general engines agree
     from swift_png_tpu.lz77.inflate import Inflator
 
     inf = Inflator()
