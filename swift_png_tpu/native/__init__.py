@@ -33,7 +33,7 @@ _ERRORS = {
 _FORMATS = {"zlib": 0, "ios": 1, "raw": 1, "gzip": 2}
 
 
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 def _abi_version(lib) -> int:

@@ -1146,21 +1146,33 @@ def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
         _write_stored_block(w, datas[i], True)
         w.pad_to_byte()
         out[i] = bytes(w.drain()) + adler32(datas[i]).to_bytes(4, "big")
-    if big:
-        sub = [datas[i] for i in big]
-        if small:
-            dbuf = None  # device layout was built for the full batch
+    # ragged batches: every image in one pipeline call pads to the
+    # largest image's tile count (batch_layout), so a 1 MB + 64 KB mix
+    # would pay ~16× wasted DP/candidate work on the small image —
+    # bucket by pow2 tile count and run the pipeline per bucket
+    def _bucket(i: int) -> int:
+        cpi = -(-len(datas[i]) // NB)
+        tiles = max(1, -(-cpi // 128))
+        return tiles.bit_length()
+
+    buckets: dict[int, list[int]] = {}
+    for i in big:
+        buckets.setdefault(_bucket(i), []).append(i)
+    from .deflate import atoms32_to_bytes
+
+    for bkey in sorted(buckets):
+        grp = buckets[bkey]
+        sub = [datas[i] for i in grp]
+        gbuf = dbuf if (not small and len(buckets) == 1) else None
         atoms_list, totals, trees, _ = optimal_pipeline_batch(
             sub, level=level, pitch=pitch, bpp=bpp, interpret=interpret,
-            dbuf=dbuf)
-        from .deflate import atoms32_to_bytes
-
+            dbuf=gbuf)
         tot_h = np.asarray(jnp.stack(totals))          # one tiny fetch
         sliced = [a[: (int(t) + 31) // 32 + 1]
                   for a, t in zip(atoms_list, tot_h)]
         cat = np.asarray(jnp.concatenate(sliced))      # one bulk fetch
         offs = np.cumsum([0] + [s.shape[0] for s in sliced])
-        for j, i in enumerate(big):
+        for j, i in enumerate(grp):
             body = atoms32_to_bytes(cat[offs[j]: offs[j + 1]],
                                     int(tot_h[j]))
             lit_l, dist_l = trees[j]
