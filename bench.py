@@ -315,8 +315,10 @@ def main() -> None:
             _ = float(np.asarray(sadler)[0])
             tsp = min(tsp, time.perf_counter() - t0)
         smooth_gbps = round(P * Bs * out_size / tsp / 1e9, 4)
-    except Exception:
-        pass
+    except Exception as e:
+        import sys as _sys
+
+        print(f"smooth bench skipped: {e!r}", file=_sys.stderr)
 
     # ---- foreign-shaped streams: stdlib zlib-9 output (multi-block
     # dynamic Huffman, ~41 blocks/image — the content shape of the
@@ -334,29 +336,28 @@ def main() -> None:
         fixs = [build_index(b, out_size, OB) for b in fbodies]
         if any(ix is None for ix in fixs):
             raise RuntimeError("foreign stream outside the fast path")
+        # one validated run() resolves the launch plan (cap retries,
+        # collapse/records policy); the timed loop re-dispatches the same
+        # compiled program with those parameters
+        _out, _ad = eng.run(fbodies, fixs, keep_on_device=True)
+        for i in range(B):
+            assert int(_ad[i]) == _zf.adler32(datas[i])
+        plan = eng.last_plan
         fprep = eng.prepare(fbodies, fixs)
-        fmatch = sum(ix.match_bytes for ix in fixs)
-        fcap = r8k(fmatch + 64)
-        fseg = r8k(sum(ix.match_segs for ix in fixs) + 64)
-        fcol = CheckpointInflator.auto_collapse(
-            fmatch, B, out_size, fprep["Ui_pad"], OB)
-        from swift_png_tpu.ops.inflate_seqcopy import RECORDS_SMEM_CAP
-
-        freccap = (min(RECORDS_SMEM_CAP, r8k(max(4096, fmatch // 16)))
-                   if fcol and (fprep["Ui_pad"] * OB) % 128 == 0
-                   else None)
 
         def finflate():
             return inflate_indexed_pallas(
                 fprep["kbound"], fprep["spans3"], fprep["meta"],
                 fprep["tabs"], fprep["symtab"], ob=OB, n_streams=B,
-                out_size=out_size, expand_cap=fcap, S=fprep["S"],
-                interpret=not on_tpu, seg_cap=fseg,
+                out_size=out_size, expand_cap=plan["expand_cap"],
+                S=fprep["S"], interpret=not on_tpu,
+                seg_cap=plan["seg_cap"],
                 multiblock=fprep["multiblock"],
                 has_stored=fprep["has_stored"],
                 stored_gap=fprep["stored_gap"]
-                if fprep["has_stored"] else None, collapse=fcol,
-                records_cap=freccap)
+                if fprep["has_stored"] else None,
+                collapse=plan["collapse"],
+                records_cap=plan["records_cap"])
 
         _fo, ffl, fad, _fv = finflate()
         assert int(np.asarray(ffl).max()) == 0
@@ -370,8 +371,12 @@ def main() -> None:
             _ = float(np.asarray(fad)[0])
             tfp = min(tfp, time.perf_counter() - t0)
         foreign_gbps = round(P * B * out_size / tfp / 1e9, 4)
-    except Exception:
-        pass
+    except Exception as e:
+        import sys as _sys
+        import traceback as _tb
+
+        print(f"foreign bench skipped: {e!r}", file=_sys.stderr)
+        _tb.print_exc()
 
     nbytes = B * out_size
     gbps = P * nbytes / t_pipe / 1e9

@@ -1297,6 +1297,10 @@ class CheckpointInflator:
             break
         if int(np.asarray(flag).max()) != 0:
             raise DecompressionError.invalid_huffman_table()
+        # the converged launch parameters (after any overflow retries) —
+        # benchmarks re-dispatch the same compiled program with these
+        self.last_plan = dict(expand_cap=expand_cap, seg_cap=seg_cap,
+                              collapse=collapse, records_cap=records_cap)
         return (out, np.asarray(adler)) if keep_on_device else (
             np.asarray(out), np.asarray(adler))
 
