@@ -357,7 +357,8 @@ def main() -> None:
                 stored_gap=fprep["stored_gap"]
                 if fprep["has_stored"] else None,
                 collapse=plan["collapse"],
-                records_cap=plan["records_cap"])
+                records_cap=plan["records_cap"],
+                sweep_k=plan.get("sweep_k"))
 
         _fo, ffl, fad, _fv = finflate()
         assert int(np.asarray(ffl).max()) == 0
