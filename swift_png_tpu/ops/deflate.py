@@ -215,8 +215,9 @@ def pack_bits32(lo, hi, nbits, valid, *, spans: int = 3):
     most 2 when its bit count is ≤ 33 — callers that can bound the max
     term bits from the Huffman trees (code length + decade extra bits over
     symbols that actually occur) pass ``spans=2`` and the scatter index
-    count falls to 2n (measured ~8 ns per scatter index on this chip,
-    independent of event liveness — index count is the entire cost).
+    count falls to 2n (~10 ns per scatter index on this chip; a round-4
+    single-scatter wide-value variant measured SLOWER — the (natoms,
+    spans) grid + dense fold cost more than the indices saved).
 
     Returns ``(atoms (⌈3n/2⌉+8,) int32 of 32 bits each, total_bits)``.
     """
@@ -343,9 +344,11 @@ def pack_bits32_quad(lo, hi, nbits, valid, *, spans: int = 3):
     return atoms, total
 
 
-@functools.partial(jax.jit, static_argnames=("max_bits", "cap_words"))
+@functools.partial(jax.jit, static_argnames=("max_bits", "cap_words",
+                                             "stop_group"))
 def pack_tournament(lo, hi, nbits, valid, *, max_bits: int = 48,
-                    cap_words: int | None = None):
+                    cap_words: int | None = None,
+                    stop_group: int | None = None):
     """Scatter-free bit packer: pairwise tournament merge of bitstrings.
 
     Scatter cost on this chip is per INDEX (~8 ns, largely liveness-
@@ -378,7 +381,8 @@ def pack_tournament(lo, hi, nbits, valid, *, max_bits: int = 48,
     words = jnp.stack([wl, wh], axis=1)            # (np2, 2)
     bits = nb
     group = 1
-    while words.shape[0] > 1:
+    while words.shape[0] > 1 and (stop_group is None
+                                  or group < stop_group):
         group *= 2
         m = words.shape[0] // 2
         wn = -(-(group * max_bits) // 32) + 1
@@ -411,7 +415,34 @@ def pack_tournament(lo, hi, nbits, valid, *, max_bits: int = 48,
                           ((prev >> 1) & 0x7FFFFFFF) >> (31 - sb))
         words = a | (b << sb) | carry
         bits = ab + bb
-    return words[0], bits[0]
+    if words.shape[0] == 1:
+        return words[0], bits[0]
+    # scatter finish: each group's words land at its prefix-sum offset
+    # (funnel-shifted by the sub-word remainder) — one scatter of
+    # m·(W+1) indices instead of continuing the (increasingly wide)
+    # dense rolls to the root
+    m, W = words.shape
+    goffs = jnp.cumsum(bits) - bits
+    total = jnp.sum(bits)
+    natoms = int(np2 * max_bits) // 32 + 8
+    if cap_words is not None:
+        natoms = min(natoms, cap_words + 8)
+    sub = (goffs & 31)[:, None]
+    prev = jnp.concatenate([jnp.zeros((m, 1), jnp.int32), words[:, :-1]],
+                           axis=1)
+    carry = jnp.where(sub == 0, 0,
+                      ((prev >> 1) & 0x7FFFFFFF) >> (31 - sub))
+    spans = jnp.concatenate(
+        [(words << sub) | carry,
+         jnp.where(sub == 0, 0,
+                   ((words[:, -1:] >> 1) & 0x7FFFFFFF) >> (31 - sub))],
+        axis=1)                                     # (m, W+1)
+    widx = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    live = (widx * 32) < (sub + bits[:, None])
+    tgt = jnp.where(live, (goffs >> 5)[:, None] + widx, natoms)
+    atoms = jnp.zeros(natoms + 1, jnp.int32).at[tgt.reshape(-1)].add(
+        jnp.where(live, spans, 0).reshape(-1), mode="drop")
+    return atoms[:natoms], total
 
 
 @jax.jit
@@ -420,17 +451,22 @@ def pack_stream32(terms_u32, valid, lit_bits, lit_len, dist_bits,
     """Fused 32-bit pack (3-span general form)."""
     lo, hi, nbits = pack_terms32(terms_u32, lit_bits, lit_len,
                                  dist_bits, dist_len)
-    return pack_bits32_quad(lo, hi, nbits, valid, spans=3)
+    return pack_bits32(lo, hi, nbits, valid, spans=3)
 
 
 @jax.jit
 def pack_stream32_short(terms_u32, valid, lit_bits, lit_len, dist_bits,
                         dist_len):
     """Fused 32-bit pack for streams whose max term bits ≤ 33 (proved
-    host-side from the trees): quad-combined, 2-span per-term fallback."""
+    host-side from the trees): 2 scatter spans per term.
+
+    Round-4 note: the quad-combined packer was re-measured SLOWER than
+    the plain per-term scatter at 1M terms (38 vs 20 ms real — the
+    group funnel's strided slicing relayouts cost more than the scatter
+    indices they save), so both fused entries route plain."""
     lo, hi, nbits = pack_terms32(terms_u32, lit_bits, lit_len,
                                  dist_bits, dist_len)
-    return pack_bits32_quad(lo, hi, nbits, valid, spans=2)
+    return pack_bits32(lo, hi, nbits, valid, spans=2)
 
 
 def max_term_bits(lit_lengths, dist_lengths, freq) -> int:
@@ -471,11 +507,18 @@ def _emit_tables(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
     dist_lengths = np.asarray(dist_lengths, np.int64)
     lit_codes = canonical_codes(lit_lengths)
     dist_codes = canonical_codes(dist_lengths)
-    lit_bits = np.array([reverse_bits(int(lit_codes[s]), int(lit_lengths[s]))
-                         for s in range(lit_lengths.size)], np.int64)
-    dist_bits = np.array([reverse_bits(int(dist_codes[s]),
-                                       int(dist_lengths[s]))
-                          for s in range(dist_lengths.size)], np.int64)
+
+    def _rev_np(codes, lengths):
+        # vectorized ≤15-bit reversal (the per-symbol Python loop cost
+        # ~8 ms per call — material once called 8× per batched encode)
+        rev8 = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)],
+                        np.int64)
+        r16 = (rev8[codes & 255] << 8) | rev8[(codes >> 8) & 255]
+        return np.where(lengths > 0, r16 >> (16 - np.maximum(lengths, 1)),
+                        0)
+
+    lit_bits = _rev_np(lit_codes.astype(np.int64), lit_lengths)
+    dist_bits = _rev_np(dist_codes.astype(np.int64), dist_lengths)
     pad = 288 - lit_bits.size
     if pad:
         lit_bits = np.concatenate([lit_bits, np.zeros(pad, np.int64)])
@@ -485,10 +528,14 @@ def _emit_tables(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
         dist_bits = np.concatenate([dist_bits, np.zeros(dpad, np.int64)])
         dist_lengths = np.concatenate([dist_lengths,
                                        np.zeros(dpad, np.int64)])
-    return (jnp.asarray(lit_bits.astype(np.int32)),
-            jnp.asarray(lit_lengths.astype(np.int32)),
-            jnp.asarray(dist_bits.astype(np.int32)),
-            jnp.asarray(dist_lengths.astype(np.int32)))
+    # numpy, NOT device arrays: jit callers upload implicitly at call
+    # time; eager jnp.asarray here both paid 4 host→device transfers
+    # per call (each of which BLOCKS on this backend until the device
+    # queue drains) and made host-side consumers pay device fetches
+    return (lit_bits.astype(np.int32),
+            lit_lengths.astype(np.int32),
+            dist_bits.astype(np.int32),
+            dist_lengths.astype(np.int32))
 
 
 def term_frequencies(terms: np.ndarray, valid: np.ndarray) -> np.ndarray:

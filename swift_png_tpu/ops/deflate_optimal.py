@@ -947,6 +947,76 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     return stream
 
 
+@functools.partial(jax.jit, static_argnames=("spans", "interpret"))
+def _emit_pack_grid(terms_r, valid_r, tabs_small, *, spans: tuple,
+                    interpret: bool = False):
+    """Fused stream-order flatten → batched term emission → per-image
+    scatter packs, ONE compiled program.
+
+    Dispatch on the tunneled backend costs ~10-30 ms per top-level op,
+    so the flatten/emit/slice/pack sequence must not be composed at the
+    Python level (measured: the unfused form more than doubled the
+    whole encode pipeline).
+    """
+    from .deflate import pack_bits32
+    from .deflate_emit import emit_terms_batch
+
+    B = terms_r.shape[0]
+    tabs = jnp.broadcast_to(tabs_small[:, :, None],
+                            (B, tabs_small.shape[1], 128))
+    tf = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
+    vm = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
+    slots = tf.shape[1]
+    flat = tf.reshape(-1)
+    eshape = (flat.shape[0] // (1024 * 128), 1024, 128)
+    lo, hi, nb = emit_terms_batch(
+        flat.reshape(eshape), tabs,
+        jnp.full((1,), slots // (1024 * 128), jnp.int32),
+        interpret=interpret)
+    lo_b = lo.reshape(B, slots)
+    hi_b = hi.reshape(B, slots)
+    nb_b = nb.reshape(B, slots)
+    atoms, totals = [], []
+    for i in range(B):
+        a, t = pack_bits32(lo_b[i], hi_b[i], nb_b[i], vm[i],
+                           spans=spans[i])
+        atoms.append(a)
+        totals.append(t)
+    return atoms, totals
+
+
+@functools.partial(jax.jit, static_argnames=("spans", "interpret"))
+def _emit_pack_compact(ctms_b, counts_b, tabs_small, *, spans: tuple,
+                       interpret: bool = False):
+    """Fused emission + packs over compacted per-image term rows."""
+    from .deflate import pack_bits32
+    from .deflate_emit import emit_terms_batch
+
+    B, cap = ctms_b.shape
+    tabs = jnp.broadcast_to(tabs_small[:, :, None],
+                            (B, tabs_small.shape[1], 128))
+    flat = ctms_b.reshape(-1)
+    blk = 1024 * 128
+    nb_blk = 1024
+    while cap % blk and nb_blk >= 16:
+        blk //= 2
+        nb_blk //= 2
+    lo, hi, nb = emit_terms_batch(
+        flat.reshape(flat.shape[0] // blk, nb_blk, 128), tabs,
+        jnp.full((1,), cap // blk, jnp.int32), interpret=interpret)
+    lo_b = lo.reshape(B, cap)
+    hi_b = hi.reshape(B, cap)
+    nb_b = nb.reshape(B, cap)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    atoms, totals = [], []
+    for i in range(B):
+        a, t = pack_bits32(lo_b[i], hi_b[i], nb_b[i],
+                           pos < counts_b[i], spans=spans[i])
+        atoms.append(a)
+        totals.append(t)
+    return atoms, totals
+
+
 def batch_layout(ns: list[int]):
     """(stride, Ntot, TPI) for a batch of stream lengths: every image is
     padded to a whole number of 128-chunk tiles so DP tables and menus
@@ -1075,14 +1145,12 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     n_terms = [int(freqs[i][:288].sum()) for i in range(B)]
     n_terms_max = max(max(n_terms), 1)
     skip_compact = n_terms_max > grid // 2
-    if skip_compact:
-        # literal-dominated batch (high-entropy content defeats LZ
-        # matching, so terms ≈ bytes): compaction would be a near-identity
-        # grid-sized scatter (~89 ms/batch measured) — pack the grid
-        # positions directly in stream order instead
-        tf_b = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
-        vmask_b = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
-    else:
+    if not skip_compact:
+        # match-rich batch: compaction shrinks the pack to the live
+        # terms; literal-dominated batches (terms ≈ bytes) skip it —
+        # the near-identity grid-sized scatter measured ~89 ms/batch —
+        # and pack the grid positions in stream order inside
+        # _emit_pack_grid instead
         cap = max(512, 1 << (n_terms_max + 8 - 1).bit_length())
         ctms_b, counts_b = _compact_batch(terms_r, valid_r, cap=cap)
     # host tree build AFTER the device compaction is enqueued: the
@@ -1098,24 +1166,45 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
         trees.append((lit_l, dist_l))
         emit_rows.append(_emit_tables(lit_l, dist_l))
         shorts.append(max_term_bits(lit_l, dist_l, freqs[i]) <= 33)
-    # per-image fused pack calls (the vmapped whole-batch pack measured
-    # SLOWER on this chip — batched scatter programs schedule worse);
-    # 32-bit atoms: 2 scatter passes when the trees bound term bits ≤ 33
-    atoms_list, totals, counts = [], [], []
-    for i in range(B):
-        if skip_compact:
-            src, vm = tf_b[i], vmask_b[i]
-            counts.append(jnp.asarray(np.int32(n_terms[i])))
-        else:
-            src = ctms_b[i]
+    # term emission + packing run as ONE fused program: a batched
+    # sublane one-hot emit kernel (the pack_terms32 route cost two
+    # ~8.6 ns/term gathers per image) feeding per-image scatter packs —
+    # every intermediate composed at the Python level would pay this
+    # tunnel's ~10-30 ms per-dispatch cost
+    from .deflate_emit import pack_emit_table
+
+    # upload only (B, 320) int32 — the tunnel measured ~1 s for the
+    # lane-broadcast form; the broadcast happens on device in the
+    # fused pack program
+    tabs_small = jnp.asarray(np.stack(
+        [pack_emit_table(*emit_rows[i]) for i in range(B)]))
+    spans = tuple(2 if s else 3 for s in shorts)
+    counts = []
+    if skip_compact:
+        atoms_list, totals = _emit_pack_grid(
+            terms_r, valid_r, tabs_small, spans=spans,
+            interpret=interpret)
+        counts = [jnp.asarray(np.int32(n_terms[i])) for i in range(B)]
+    elif cap % 1024 == 0:
+        atoms_list, totals = _emit_pack_compact(
+            ctms_b, counts_b, tabs_small, spans=spans,
+            interpret=interpret)
+        counts = [counts_b[i] for i in range(B)]
+    else:
+        # tiny per-image slot counts: the kernel's 8-sublane steps
+        # don't fit — keep the gather route (cost is tiny at this size)
+        from .deflate import pack_stream32, pack_stream32_short
+
+        atoms_list, totals = [], []
+        for i in range(B):
             vm = jnp.arange(cap, dtype=jnp.int32) < counts_b[i]
             counts.append(counts_b[i])
-        pack = pack_stream32_short if shorts[i] else pack_stream32
-        atoms, total = pack(
-            jax.lax.bitcast_convert_type(src, jnp.uint32), vm,
-            *emit_rows[i])
-        atoms_list.append(atoms)
-        totals.append(total)
+            pack = pack_stream32_short if shorts[i] else pack_stream32
+            atoms, total = pack(
+                jax.lax.bitcast_convert_type(ctms_b[i], jnp.uint32), vm,
+                *emit_rows[i])
+            atoms_list.append(atoms)
+            totals.append(total)
     return atoms_list, totals, trees, counts
 
 
