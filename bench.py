@@ -157,19 +157,43 @@ def main() -> None:
             prep["lit"], prep["dist"], ob=OB, n_streams=B,
             out_size=out_size, expand_cap=expand_cap, k_max=prep["k_max"])
 
-    def decode_all():
-        out, flag, adler, ovf = inflate()
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _decode_fused(kbound, spans3, meta, tabs, symtab):
+        # the WHOLE batch decode as one dispatch: composing inflate,
+        # decode_stage, and the probe at the Python level costs this
+        # tunnel ~1-3 ms per top-level call
+        if eng.backend == "pallas":
+            out, flag, adler, ovf = inflate_indexed_pallas(
+                kbound, spans3, meta, tabs, symtab, ob=OB, n_streams=B,
+                out_size=out_size, expand_cap=expand_cap,
+                S=prep["S"], interpret=not on_tpu, seg_cap=seg_cap)
+        else:
+            from swift_png_tpu.ops.inflate_checkpoint import \
+                inflate_indexed
+
+            out, flag, adler, ovf = inflate_indexed(
+                prep["spans"], prep["sub0"], prep["n_tokens"],
+                prep["skip"], prep["lit"], prep["dist"], ob=OB,
+                n_streams=B, out_size=out_size, expand_cap=expand_cap,
+                k_max=prep["k_max"])
         filtered = out.reshape(B, H, pitch1)
         pixels = decode_stage(filtered, delay=4, depth=8, channels=4,
                               width=W, bits=8)
-        # one probe scalar depending on every output, computed ON DEVICE:
-        # each host fetch costs a full ~30 ms tunnel round trip (measured;
-        # a tiny fetch and a 134 MB pass cost the same), so the timed
-        # sync must be exactly one scalar
+        # one probe scalar depending on every output, computed ON
+        # DEVICE: each host fetch costs a full ~30 ms tunnel round trip
         probe = (adler[0].astype(jnp.int32)
                  + pixels[0, 0, 0, 0].astype(jnp.int32)
                  + flag.max())
         return pixels, flag, adler, probe
+
+    def decode_all():
+        if eng.backend == "pallas":
+            return _decode_fused(prep["kbound"], prep["spans3"],
+                                 prep["meta"], prep["tabs"],
+                                 prep["symtab"])
+        return _decode_fused(None, None, None, None, None)
 
     # warmup + correctness
     pixels, flag, adler, _probe = decode_all()
@@ -199,7 +223,7 @@ def main() -> None:
     # completing proves all P completed.  This is the per-chip number a
     # continuously-fed decode service sees; `total_ms` above remains the
     # single-batch latency including the round trip.
-    P = int(os.environ.get("SPT_BENCH_PIPE", "4"))
+    P = int(os.environ.get("SPT_BENCH_PIPE", "8"))
     t_pipe = float("inf")
     for _ in range(max(2, trials - 2)):
         t0 = time.perf_counter()

@@ -172,32 +172,20 @@ def main():
     terms_r = terms.reshape(B, TPI, DO.NB, 128)
     valid_r = valid.reshape(B, TPI, DO.NB, 128)
 
-    def flatten():
-        tf = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
-        vm = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
-        return tf, vm
+    # round-4 production tail: one fused program (flatten + batched
+    # one-hot emit kernel + per-image scatter packs)
+    from swift_png_tpu.ops.deflate_emit import ROWS, pack_emit_table
 
-    tf_b, vmask_b = t("grid flatten (skip compact)", flatten)
+    tabs_small = jnp.asarray(np.stack(
+        [pack_emit_table(*emit_rows[i]) for i in range(B)]))
+    spans = tuple(2 if s else 3 for s in shorts)
 
-    def packs():
-        atoms_list, totals = [], []
-        for i in range(B):
-            pack = pack_stream32_short if shorts[i] else pack_stream32
-            atoms, total = pack(
-                jax.lax.bitcast_convert_type(tf_b[i], jnp.uint32),
-                vmask_b[i], *emit_rows[i])
-            atoms_list.append(atoms)
-            totals.append(total)
-        return atoms_list, totals
+    def fused():
+        return DO._emit_pack_grid(terms_r, valid_r, tabs_small,
+                                  spans=spans)
 
-    atoms_list, totals = t("pack loop (B images)", packs,
-                           sync=lambda r: float(np.asarray(r[1][-1])))
-
-    i = 0
-    pack = pack_stream32_short if shorts[i] else pack_stream32
-    t("  pack_stream32 (1 img)", lambda: pack(
-        jax.lax.bitcast_convert_type(tf_b[i], jnp.uint32), vmask_b[i],
-        *emit_rows[i]))
+    t("fused emit+pack (grid)", fused,
+      sync=lambda r: float(np.asarray(r[1][-1])))
 
 
 if __name__ == "__main__":
