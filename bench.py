@@ -243,7 +243,7 @@ def main() -> None:
         batch_layout, deflate_device_optimal_batch, optimal_pipeline_batch)
 
     Benc = int(os.environ.get("SPT_BENCH_ENC_B",
-                              "2" if tpu_unavailable else "8"))
+                              "2" if tpu_unavailable else "16"))
     enc_datas = datas[:Benc]
     t9 = float("inf")
     size9 = None

@@ -377,7 +377,7 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                                 | (is_runtok & ~is_match))
                 tl = jnp.where(active & is_lit, 1,
                                jnp.where(active & is_match, run, 0))
-                aux = jnp.where(is_lit, -(sym + 1), dist - 1).astype(adt)
+                aux = jnp.where(is_lit, -(sym + 1), dist - 1)
                 step1 = jnp.where(is_lit, ls, ls + e_run + dls + e_d)
                 if pair:
                     # speculative second literal: when this token is a
@@ -403,7 +403,7 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                     ls2, sym2, lbad2 = _lit_decode(win3, swb)
                     take2 = (active & (is_lit | is_match) & ~lbad2
                              & (sym2 < 256))
-                    aux2 = (-(sym2 + 1)).astype(adt)
+                    aux2 = -(sym2 + 1)
                 # monotone stamp: tokens arrive in increasing byte order,
                 # so stamping the whole tail [cur, ob) is correct — later
                 # tokens overwrite it; bytes past the last token stay
@@ -429,8 +429,17 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                                         aux[:, None, :])
                     else:
                         val = aux[:, None, :]
-                    attr_ref[0, :, sl] = jnp.where(
-                        mask, val, attr_ref[0, :, sl])
+                    if adt == jnp.int16:
+                        # i16 stores halve the stamp's VMEM traffic, but
+                        # the i1 select mask carries an i32 (8,128)
+                        # layout Mosaic cannot relayout onto i16
+                        # (16,128) operands — select in i32, store i16
+                        cur_v = attr_ref[0, :, sl].astype(jnp.int32)
+                        attr_ref[0, :, sl] = jnp.where(
+                            mask, val, cur_v).astype(adt)
+                    else:
+                        attr_ref[0, :, sl] = jnp.where(
+                            mask, val, attr_ref[0, :, sl])
 
                 SEGQ = 64
                 for q in range(ob // SEGQ):
