@@ -947,25 +947,34 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     return stream
 
 
-@functools.partial(jax.jit, static_argnames=("spans", "interpret"))
-def _emit_pack_grid(terms_r, valid_r, tabs_small, *, spans: tuple,
-                    interpret: bool = False):
-    """Fused stream-order flatten → batched term emission → per-image
-    scatter packs, ONE compiled program.
+@jax.jit
+def _flatten_grid(terms_r, valid_r):
+    """Stream-order flatten of the DP grid — dispatched BEFORE the
+    histogram fetch so the ~35 ms of device transposes overlap the host
+    tree build that follows the sync."""
+    B = terms_r.shape[0]
+    tf = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
+    vm = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
+    return tf, vm
 
-    Dispatch on the tunneled backend costs ~10-30 ms per top-level op,
-    so the flatten/emit/slice/pack sequence must not be composed at the
-    Python level (measured: the unfused form more than doubled the
-    whole encode pipeline).
+
+@functools.partial(jax.jit, static_argnames=("spans", "interpret"))
+def _emit_pack_grid(tf, vm, tabs_small, *, spans: tuple,
+                    interpret: bool = False):
+    """Fused batched term emission → per-image scatter packs, ONE
+    compiled program.
+
+    Dispatch on the tunneled backend costs ~1-3 ms per top-level op and
+    uploads block on a busy queue, so the emit/slice/pack sequence must
+    not be composed at the Python level (measured: the unfused form
+    more than doubled the whole encode pipeline).
     """
     from .deflate import pack_bits32
     from .deflate_emit import emit_terms_batch
 
-    B = terms_r.shape[0]
+    B = tf.shape[0]
     tabs = jnp.broadcast_to(tabs_small[:, :, None],
                             (B, tabs_small.shape[1], 128))
-    tf = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
-    vm = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
     slots = tf.shape[1]
     flat = tf.reshape(-1)
     eshape = (flat.shape[0] // (1024 * 128), 1024, 128)
@@ -1132,13 +1141,16 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     terms, valid, hist_img = _dp_iterated(
         data2, clen_j, cand, dep_b, run_b, dde_b, rdinfo_r, dbase_r,
         k=KCAND, interpret=interpret, tpi=TPI, iters=iters)
+    terms_r = terms.reshape(B, TPI, NB, 128)
+    valid_r = valid.reshape(B, TPI, NB, 128)
+    # enqueue the stream-order flatten now: its ~35 ms of transposes
+    # overlap the host tree build below the histogram sync
+    tf_b, vmask_b = _flatten_grid(terms_r, valid_r)
 
     freqs = np.asarray(hist_img).astype(np.int64)      # ONE fetch (B, 320)
     from .deflate import (_emit_tables, max_term_bits, pack_stream32,
                           pack_stream32_short)
 
-    terms_r = terms.reshape(B, TPI, NB, 128)
-    valid_r = valid.reshape(B, TPI, NB, 128)
     grid = TPI * 128 * NB
     # the histogram gives each image's exact term count (one lit/run
     # symbol per term) before any further device work is dispatched
@@ -1182,7 +1194,7 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     counts = []
     if skip_compact:
         atoms_list, totals = _emit_pack_grid(
-            terms_r, valid_r, tabs_small, spans=spans,
+            tf_b, vmask_b, tabs_small, spans=spans,
             interpret=interpret)
         counts = [jnp.asarray(np.int32(n_terms[i])) for i in range(B)]
     elif cap % 1024 == 0:
