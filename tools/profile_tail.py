@@ -56,9 +56,9 @@ def main() -> None:
     eng = CheckpointInflator(ob=OB, backend="pallas" if on_tpu else "xla")
     prep = eng.prepare(bodies, indexes)
     match_total = sum(int(ix.match_bytes) for ix in indexes)
-    expand_cap = eng._pow2(match_total + 64, 1 << 10)
+    expand_cap = max(1 << 10, -(-(match_total + 64) // 8192) * 8192)
     seg_total = sum(int(ix.match_segs) for ix in indexes)
-    seg_cap = eng._pow2(seg_total + 64, 1 << 10)
+    seg_cap = max(1 << 10, -(-(seg_total + 64) // 8192) * 8192)
     S = prep["S"]
     ob = OB
     Ui = prep["Ui_pad"]
