@@ -1435,6 +1435,8 @@ class CheckpointInflator:
                         # thread pool too (ctypes releases the GIL).
                         from concurrent.futures import ThreadPoolExecutor
 
+                        assert all(int(ix.out_size) == out_size0
+                                   for ix in indexes)
                         outs = _native.inflate_batch(
                             bodies, out_size0, "ios")
                         with ThreadPoolExecutor() as pool:
