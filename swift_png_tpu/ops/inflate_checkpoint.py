@@ -1125,15 +1125,17 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     from .inflate_pallas import SENTINEL, decode_stamp_pallas
 
     B = n_streams
+    # the kernel emits attr already unit-major ((T, TUR, 128, ob)) — the
+    # round-4 (0, 1, 3, 2) transpose here was a relayout-priced ~4 ms op
     attr4, kflag, s1k, s2k = decode_stamp_pallas(
         kbound, spans3, meta, tabs, symtab, S=S, ob=ob,
-        interpret=interpret, attr16=attr16, multiblock=multiblock)
+        interpret=interpret, attr16=attr16, multiblock=multiblock,
+        transposed=True)
     U_pad = attr4.shape[0] * attr4.shape[1] * 128
     Ui = (out_size + ob - 1) // ob
     U_live = B * Ui
     Opad = Ui * ob
-    # (T, TUR, ob, 128) → unit-major (U_pad, ob)
-    attr = jnp.transpose(attr4, (0, 1, 3, 2)).reshape(U_pad, ob)
+    attr = attr4.reshape(U_pad, ob)
     flag = kflag.reshape(U_pad)
 
     b = jnp.arange(ob, dtype=jnp.int32)[None, :]

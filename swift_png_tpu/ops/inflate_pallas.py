@@ -129,7 +129,7 @@ def _rev15(x):
 
 def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                  unroll: int, multiblock: bool = False,
-                 nsym_rows: int = 128):
+                 nsym_rows: int = 128, transposed: bool = False):
     import jax.experimental.pallas as pl  # deferred: CPU tests import-safe
 
     adt = jnp.int16 if attr16 else jnp.int32
@@ -140,8 +140,11 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
     NSYM = nsym_rows * 2 if multiblock else nsym_rows
     NDS = 16 if multiblock else 8        # packed distance symbol rows
 
-    def kernel(kb_ref, spans_ref, meta_ref, tabs_ref, symtab_ref,
-               attr_ref, flag_ref, s1_ref, s2_ref):
+    def kernel(kb_ref, spans_ref, meta_ref, tabs_ref, symtab_ref, *outs):
+        if transposed:
+            attr_t_ref, flag_ref, s1_ref, s2_ref, attr_ref = outs
+        else:
+            attr_ref, flag_ref, s1_ref, s2_ref = outs
         spans = jax.lax.bitcast_convert_type(spans_ref[0], jnp.int32)
         sub0 = meta_ref[0]
         skip = meta_ref[1]
@@ -218,6 +221,50 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 jnp.where(iota_sym == q3[None, :, :], symtab, 0), axis=0)
             sym = (wsym >> ((r3 << 3) + (r3 << 1))) & 1023
             return ls, sym, lbad
+
+        def _dist_decode(win2, swb=None):
+            """Canonical distance decode from a 32-bit window: returns
+            ``(dls, e_d, dist, dbad, dsym)``.  Mirrors the literal path;
+            only the low 28 bits of ``win2`` are read."""
+            r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
+            dl = jnp.ones((TUR, 128), jnp.int32)
+            if swb is None:
+                dadj = dist_adj[0]
+            else:
+                dadj = jnp.where(swb, dist_adj2[0], dist_adj[0])
+            for t in range(1, 16):
+                if swb is None:
+                    thr = dist_T[t - 1]
+                else:
+                    thr = jnp.where(swb, dist_T2[t - 1], dist_T[t - 1])
+                ge = r15d >= thr
+                dl = dl + ge.astype(jnp.int32)
+                if t < 15:
+                    if swb is None:
+                        d_adj = dist_dadj[t - 1]
+                    else:
+                        d_adj = jnp.where(swb, dist_dadj2[t - 1],
+                                          dist_dadj[t - 1])
+                    dadj = dadj + jnp.where(ge, d_adj, 0)
+            dbad = dl > 15
+            dls = jnp.minimum(dl, 15)
+            dcode = r15d >> (15 - dls)
+            didx = jnp.clip(dcode + dadj, 0, 31)
+            drow = didx >> 2
+            if swb is not None:
+                drow = drow + jnp.where(swb, 8, 0)
+            wd = jnp.sum(
+                jnp.where(iota_ds == drow[None, :, :], dist_sym, 0),
+                axis=0)
+            dsym = (wd >> ((didx & 3) << 3)) & 255
+            ds = jnp.minimum(dsym, 29)
+            e_d = jnp.where(ds < 4, 0, (ds >> 1) - 1)
+            dbase = jnp.where(ds < 4, ds + 1,
+                              ((2 + (ds & 1)) << e_d) + 1)
+            dist = dbase + (
+                (win2 >> dls.astype(jnp.uint32)).astype(jnp.int32)
+                & ((1 << e_d) - 1))
+            return dls, e_d, dist, dbad, dsym
 
         def lit_body(k4, carry):
             # all-literal units (host-proved: n_tokens == owned is only
@@ -324,44 +371,8 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 sub2 = (bit2 & 31).astype(jnp.uint32)
                 win2 = (wa >> sub2) | jnp.where(
                     sub2 == 0, jnp.uint32(0), wb << ((32 - sub2) & 31))
-                r15d = _rev15(win2 & 0x7FFF).astype(jnp.int32)
-                dl = jnp.ones((TUR, 128), jnp.int32)
-                if multiblock:
-                    dadj = jnp.where(swb, dist_adj2[0], dist_adj[0])
-                else:
-                    dadj = dist_adj[0]
-                for t in range(1, 16):
-                    if multiblock:
-                        thr = jnp.where(swb, dist_T2[t - 1], dist_T[t - 1])
-                    else:
-                        thr = dist_T[t - 1]
-                    ge = r15d >= thr
-                    dl = dl + ge.astype(jnp.int32)
-                    if t < 15:
-                        if multiblock:
-                            d_adj = jnp.where(swb, dist_dadj2[t - 1],
-                                              dist_dadj[t - 1])
-                        else:
-                            d_adj = dist_dadj[t - 1]
-                        dadj = dadj + jnp.where(ge, d_adj, 0)
-                dbad = dl > 15
-                dls = jnp.minimum(dl, 15)
-                dcode = r15d >> (15 - dls)
-                didx = jnp.clip(dcode + dadj, 0, 31)
-                drow = didx >> 2
-                if multiblock:
-                    drow = drow + jnp.where(swb, 8, 0)
-                wd = jnp.sum(
-                    jnp.where(iota_ds == drow[None, :, :], dist_sym, 0),
-                    axis=0)
-                dsym = (wd >> ((didx & 3) << 3)) & 255
-                ds = jnp.minimum(dsym, 29)
-                e_d = jnp.where(ds < 4, 0, (ds >> 1) - 1)
-                dbase = jnp.where(ds < 4, ds + 1,
-                                  ((2 + (ds & 1)) << e_d) + 1)
-                dist = dbase + (
-                    (win2 >> dls.astype(jnp.uint32)).astype(jnp.int32)
-                    & ((1 << e_d) - 1))
+                dls, e_d, dist, dbad, dsym = _dist_decode(
+                    win2, swb if multiblock else None)
                 is_match = is_runtok & ~dbad & (dsym <= 29)
 
                 if multiblock:
@@ -404,25 +415,27 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                     take2 = (active & (is_lit | is_match) & ~lbad2
                              & (sym2 < 256))
                     aux2 = -(sym2 + 1)
-                # monotone stamp: tokens arrive in increasing byte order,
-                # so stamping the whole tail [cur, ob) is correct — later
-                # tokens overwrite it; bytes past the last token stay
-                # SENTINEL and are caught by the coverage checks
-                # downstream.  The stamp's VMEM read+write is the
-                # kernel's dominant term, so it is gated per 64-row
-                # segment on the TILE-WIDE minimum cursor: rows below
-                # min(start) are untouched by every lane this step, and
-                # as cursors advance the average stamped span halves.
+                # bounded stamp: token spans tile [0, owned) disjointly,
+                # so stamping exactly [cur, cur + tl) assigns every byte
+                # its owning token once (the round-4 tail stamp wrote
+                # [cur, ob) and relied on later tokens overwriting — the
+                # same result at ~2× the VMEM traffic).  Segments are
+                # gated BOTH ways on tile-wide bounds: below min(start)
+                # and at/above max(end) no lane stamps this step.
                 start = jnp.where(active & (tl > 0), cur, ob)  # ob => no-op
                 if pair:
                     start2 = jnp.where(take2, start + tl, ob)
                     tl = tl + jnp.where(take2, 1, 0)
+                end = jnp.where(active & (tl > 0), cur + tl,
+                                jnp.zeros_like(cur))
                 smin = jnp.min(start)
+                emax = jnp.max(end)
 
                 def _stamp_seg(q, seg):
                     sl = pl.ds(q * seg, seg)
                     rows = iota_b[:, q * seg:(q + 1) * seg]
-                    mask = rows >= start[:, None, :]
+                    mask = ((rows >= start[:, None, :])
+                            & (rows < end[:, None, :]))
                     if pair:
                         m2 = rows >= start2[:, None, :]
                         val = jnp.where(m2, aux2[:, None, :],
@@ -444,7 +457,7 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 SEGQ = 64
                 for q in range(ob // SEGQ):
 
-                    @pl.when(smin < (q + 1) * SEGQ)
+                    @pl.when((smin < (q + 1) * SEGQ) & (emax > q * SEGQ))
                     def _(q=q):
                         _stamp_seg(q, SEGQ)
                 step = step1
@@ -513,8 +526,8 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
             fin = jax.lax.fori_loop(0, kb, make_body(pair), init,
                                     unroll=unroll)
             bitrel, cur, flag = fin[:3]
-            # coverage: every owned byte must be stamped (the last unit
-            # of a stream owns < ob bytes; padding units own 0)
+            # coverage: every owned byte must be stamped (the last
+            # unit of a stream owns < ob bytes; padding units own 0)
             flag_ref[...] = flag | jnp.where(cur < owned, 2, 0)
 
         @pl.when(mode == 0)
@@ -523,9 +536,10 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
 
         @pl.when(mode == 2)
         def _pair_tile():
-            # literal-dense mixed tiles: the step bound is the tile's max
-            # pair_steps (host-computed), so adjacent-literal absorption
-            # buys real steps, not just wasted speculation
+            # literal-dense mixed tiles: the step bound is the
+            # tile's max pair_steps (host-computed), so adjacent-
+            # literal absorption buys real steps, not just wasted
+            # speculation
             _gen(True)
 
         # Adler-32 literal partials (per unit, sublane reductions):
@@ -538,17 +552,25 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
         d = jnp.where(is_l & bmask, -a - 1, 0)
         s1_ref[...] = jnp.sum(d, axis=1)
         s2_ref[...] = jnp.sum((ob - iota_b) * d, axis=1)
+        if transposed:
+            # emit the attribute array already unit-major — (TUR, 128,
+            # ob), so the XLA side's (U_pad, ob) view is a pure reshape
+            # instead of a relayout-priced transpose.  The swap runs on
+            # VMEM-resident vregs; the HBM write volume is unchanged.
+            attr_t_ref[0] = jnp.swapaxes(attr_ref[0], 1, 2)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("S", "ob", "interpret",
                                              "k_static", "attr16",
-                                             "unroll", "multiblock"))
+                                             "unroll", "multiblock",
+                                             "transposed"))
 def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
                         S: int, ob: int, interpret: bool = False,
                         k_static: int | None = None, attr16: bool = False,
-                        unroll: int = 1, multiblock: bool = False):
+                        unroll: int = 1, multiblock: bool = False,
+                        transposed: bool = False):
     """Run the lockstep decode+stamp kernel over all unit tiles.
 
     Args:
@@ -592,8 +614,17 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
     mrows = meta.shape[0]
     trows = tabs.shape[1]
     srows = symtab.shape[1]
+    adt = jnp.int16 if attr16 else jnp.int32
     kernel = _make_kernel(S, ob, k_static, attr16, unroll, multiblock,
-                          nsym_rows=srows // (2 if multiblock else 1))
+                          nsym_rows=srows // (2 if multiblock else 1),
+                          transposed=transposed)
+    attr_spec = pl.BlockSpec((1, TUR, 128, ob) if transposed
+                             else (1, TUR, ob, 128),
+                             lambda t: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    attr_shape = jax.ShapeDtypeStruct(
+        (n_tiles, TUR, 128, ob) if transposed
+        else (n_tiles, TUR, ob, 128), adt)
     attr, flag, s1, s2 = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -609,8 +640,7 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TUR, ob, 128), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            attr_spec,
             pl.BlockSpec((TUR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TUR, 128), lambda t: (t, 0),
@@ -619,12 +649,13 @@ def decode_stamp_pallas(kbound, spans, meta, tabs, symtab, *,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TUR, ob, 128),
-                                 jnp.int16 if attr16 else jnp.int32),
+            attr_shape,
             jax.ShapeDtypeStruct((Ur, 128), jnp.int32),
             jax.ShapeDtypeStruct((Ur, 128), jnp.int32),
             jax.ShapeDtypeStruct((Ur, 128), jnp.int32),
         ],
+        scratch_shapes=([pltpu.VMEM((1, TUR, ob, 128), adt)]
+                        if transposed else []),
         interpret=interpret,
     )(kbound, spans, meta, tabs, symtab)
     return attr, flag, s1, s2
