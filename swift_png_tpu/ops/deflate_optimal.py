@@ -440,7 +440,9 @@ def stage_buf(data: bytes, Tc: int) -> jnp.ndarray:
 def candidates_device(data: bytes, menu: tuple, Tc: int,
                       interpret: bool,
                       dbuf: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Top-2 candidates relaid out for the DP kernel: ``(Tc, 2, NB, 128)``.
+    """Top-2 candidates in the DP kernel's RAW layout:
+    ``(2, Tc, 128, NB)`` (a pure reshape — the kernel transposes to
+    chunk-per-lane in VMEM).
 
     Uses the Pallas kernel on TPU and the XLA formulation elsewhere
     (``interpret`` mirrors :func:`deflate_device_optimal`'s backend
@@ -455,8 +457,7 @@ def candidates_device(data: bytes, menu: tuple, Tc: int,
         runs, dists = menu_candidates(dbuf[:Npad], jnp.int32(n),
                                       menu=menu, k=KCAND)
         cand = (dists << 9) | runs
-        return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB),
-                             (1, 0, 3, 2))
+        return cand.reshape(KCAND, Tc, 128, NB)
     dmax = -(-max(len(menu), 1) // DMAX_STEP) * DMAX_STEP
     dv = np.zeros(dmax, np.int32)
     cv = np.zeros(dmax, np.int32)
@@ -465,7 +466,7 @@ def candidates_device(data: bytes, menu: tuple, Tc: int,
     cand = menu_candidates_pallas(
         jnp.asarray(dv), jnp.asarray(cv), dbuf, jnp.int32(n), dmax=dmax)
     cand = cand[:, :Npad]
-    return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB), (1, 0, 3, 2))
+    return cand.reshape(KCAND, Tc, 128, NB)
 
 
 # ---------------------------------------------------------------------------
@@ -549,11 +550,18 @@ def _make_dp_kernel(k: int):
 
     def kernel(data_ref, clen_ref, cand_ref, dep_lit_ref, runcost_ref,
                ddep_ref, rdinfo_ref, dbase_ref, terms_ref, valid_ref,
-               hist_ref, cost_scr, plen_scr, pdist_scr, litc_scr):
+               hist_ref, cost_scr, plen_scr, pdist_scr, litc_scr,
+               data_scr, cand_scr):
         iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
         iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (NB + 264, 128), 0)
         clen = clen_ref[0, 0][None, :]          # (1, 128) live bytes
+        # inputs arrive in RAW stream layout ((128 chunks, NB) rows) and
+        # are transposed to chunk-per-lane HERE, on VMEM-resident vregs —
+        # the round-4 XLA-side transposes were relayout-priced
+        # (~31 ms/batch for cand+data at B=8)
+        data_scr[...] = jnp.swapaxes(data_ref[0], 0, 1)
+        cand_scr[...] = jnp.swapaxes(cand_ref[:, 0], 1, 2)
         cost_scr[...] = jnp.where(rows == 0, 0, INF)
         plen_scr[...] = jnp.zeros((NB + 264, 128), jnp.int32)
         pdist_scr[...] = jnp.ones((NB + 264, 128), jnp.int32)
@@ -562,7 +570,7 @@ def _make_dp_kernel(k: int):
         # byte values, each iteration a dense (NB, 128) select
         def lit_body(v, acc):
             depv = dep_lit_ref[pl.ds(v, 1)]     # (1, 128) replicated row
-            return acc + jnp.where(data_ref[0] == v, depv, 0)
+            return acc + jnp.where(data_scr[...] == v, depv, 0)
 
         litc_scr[...] = jax.lax.fori_loop(0, 256, lit_body,
                                           jnp.zeros((NB, 128), jnp.int32))
@@ -591,7 +599,7 @@ def _make_dp_kernel(k: int):
             pdist_scr[pl.ds(i + 1, 1)] = jnp.where(
                 bet, 0, pdist_scr[pl.ds(i + 1, 1)])
             for kk in range(k):
-                candrow = cand_ref[0, kk, pl.ds(i, 1)]   # (1, 128)
+                candrow = cand_scr[kk, pl.ds(i, 1)]      # (1, 128)
                 distk = candrow >> 9
                 runk = candrow & 0x1FF
                 dd = decade_of(distk)
@@ -632,7 +640,7 @@ def _make_dp_kernel(k: int):
             ln = plen_scr[pl.ds(i, 1)]          # (1, 128)
             dist = pdist_scr[pl.ds(i, 1)]
             is_lit = ln == 1
-            byte = data_ref[0, pl.ds(i - 1, 1)]
+            byte = data_scr[pl.ds(i - 1, 1)]
             rinfo = jnp.sum(
                 jnp.where(iota256 == jnp.maximum(ln - 3, 0),
                           rdinfo_ref[...], 0), axis=0, keepdims=True)
@@ -671,10 +679,12 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
     """Run the DP kernel over all chunk tiles.
 
     Args:
-      data2: ``(Tc, NB, 128)`` int32 — chunk bytes, chunks on lanes
-        (chunk ``c`` of tile ``t`` at lane ``c``; byte ``i`` at row ``i``).
+      data2: ``(Tc, 128, NB)`` int32 — chunk bytes in RAW stream layout
+        (chunk ``c`` of tile ``t`` on sublane row ``c``; the kernel
+        transposes to chunk-per-lane on VMEM vregs).
       clen: ``(Tc, 8, 128)`` int32 — live bytes per chunk (row 0).
-      cand: ``(Tc, k, NB, 128)`` int32 — packed ``dist<<9 | run``.
+      cand: ``(k, Tc, 128, NB)`` int32 — packed ``dist<<9 | run``, raw
+        stream layout (a pure reshape of the candidate kernel output).
       dep_lit/runcost/ddep/rdinfo/dbase: cost tables replicated to 128
         lanes: ``(256,128)/(256,128)/(32,128)/(256,128)/(32,128)``.
 
@@ -698,11 +708,11 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
         kernel,
         grid=(Tc,),
         in_specs=[
-            pl.BlockSpec((1, NB, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 128, NB), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, NB, 128), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((k, 1, 128, NB), lambda t: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 128), img, memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 128), img, memory_space=pltpu.VMEM),
@@ -730,6 +740,8 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
             pltpu.VMEM((NB + 264, 128), jnp.int32),
             pltpu.VMEM((NB + 264, 128), jnp.int32),
             pltpu.VMEM((NB, 128), jnp.int32),
+            pltpu.VMEM((NB, 128), jnp.int32),
+            pltpu.VMEM((k, NB, 128), jnp.int32),
         ],
         interpret=interpret,
     )(data2, clen, cand, dep_lit, runcost, ddep, rdinfo, dbase)
@@ -799,8 +811,7 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
     # relayout (the tunnel transfer dwarfs the on-device transposes)
     dbuf = stage_buf(data, Tc)
     cand = candidates_device(data, menu, Tc, interpret, dbuf=dbuf)
-    data2 = jnp.transpose(
-        dbuf[:Npad].reshape(Tc, 128, NB), (0, 2, 1)).astype(jnp.int32)
+    data2 = dbuf[:Npad].reshape(Tc, 128, NB).astype(jnp.int32)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for c in range(chunks):
         clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
@@ -947,58 +958,97 @@ def deflate_device_optimal(data: bytes, level: int = 9,
     return stream
 
 
-@jax.jit
-def _flatten_grid(terms_r, valid_r):
-    """Stream-order flatten of the DP grid — dispatched BEFORE the
-    histogram fetch so the ~35 ms of device transposes overlap the host
-    tree build that follows the sync."""
-    B = terms_r.shape[0]
-    tf = jnp.transpose(terms_r, (0, 1, 3, 2)).reshape(B, -1)
-    vm = jnp.transpose(valid_r, (0, 1, 3, 2)).reshape(B, -1) != 0
-    return tf, vm
+def _batch_scatter_pack(lo_b, hi_b, nbv, offs, spans: tuple,
+                        natoms_img: int):
+    """ONE whole-batch scatter pack from per-image bit offsets.
+
+    ``lo_b/hi_b/nbv/offs``: ``(B, n)`` int32 — each image's term bit
+    patterns, masked bit counts (0 = dead slot), and within-image stream
+    bit offsets.  Image ``i`` packs into the static region
+    ``[i·natoms_img, (i+1)·natoms_img)`` of one atoms buffer, so the
+    whole batch is 2 scatter passes (3-span images pay their third pass
+    over just their own rows) instead of B programs each paying the
+    multi-ms dispatch floor.  Placement math is identical to
+    :func:`swift_png_tpu.ops.deflate.pack_bits32`.
+    """
+    B, n = nbv.shape
+    natoms_total = B * natoms_img
+    a0 = offs >> 5
+    sub = offs & 31
+    nsub = (32 - sub) & 31
+    vals = [
+        lo_b << sub,
+        jnp.where(sub == 0, 0,
+                  ((lo_b >> 1) & 0x7FFFFFFF) >> (nsub - 1)) | (hi_b << sub),
+        jnp.where(sub == 0, 0, ((hi_b >> 1) & 0x7FFFFFFF) >> (nsub - 1)),
+    ]
+    base = (jnp.arange(B, dtype=jnp.int32) * natoms_img)[:, None]
+    atoms = jnp.zeros(natoms_total, jnp.int32)
+    for k in range(2):
+        live = (32 * k < sub + nbv) & (nbv > 0)
+        tgt = jnp.where(live, base + a0 + k, natoms_total)
+        atoms = atoms.at[tgt.reshape(-1)].add(
+            jnp.where(live, vals[k], 0).reshape(-1), mode="drop")
+    long_rows = [i for i, s in enumerate(spans) if s >= 3]
+    if long_rows:
+        # the third span exists only for images whose trees admit >33-bit
+        # terms; running it over just their rows keeps short images from
+        # paying dead full-price scatter indices
+        sel = jnp.asarray(long_rows, jnp.int32)
+        live = ((64 < sub[sel] + nbv[sel]) & (nbv[sel] > 0))
+        tgt = jnp.where(live, base[sel] + a0[sel] + 2, natoms_total)
+        atoms = atoms.at[tgt.reshape(-1)].add(
+            jnp.where(live, vals[2][sel], 0).reshape(-1), mode="drop")
+    totals = jnp.sum(nbv, axis=1)
+    return atoms.reshape(B, natoms_img), totals
 
 
 @functools.partial(jax.jit, static_argnames=("spans", "interpret"))
-def _emit_pack_grid(tf, vm, tabs_small, *, spans: tuple,
+def _emit_pack_grid(terms_r, valid_r, tabs_small, *, spans: tuple,
                     interpret: bool = False):
-    """Fused batched term emission → per-image scatter packs, ONE
-    compiled program.
+    """Fused batched term emission → one whole-batch scatter pack, ONE
+    compiled program, straight from the DP grid layout.
 
-    Dispatch on the tunneled backend costs ~1-3 ms per top-level op and
-    uploads block on a busy queue, so the emit/slice/pack sequence must
-    not be composed at the Python level (measured: the unfused form
-    more than doubled the whole encode pipeline).
+    The round-4 version packed per image from a stream-order flatten:
+    the flatten's (NB, 128) transposes cost ~35 ms/batch (relayout-
+    priced) and the B separate pack programs each paid the multi-ms
+    dispatch floor.  A scatter's offsets are ORDER-FREE, so the grid
+    never needs transposing: element ``[t, j, l]``'s stream bit offset =
+    its column's exclusive prefix (a tiny (B, TPI·128) cumsum in
+    (tile, lane) stream order) + its intra-column prefix (a dense
+    axis-1 cumsum) — then one scatter covers the whole batch.
     """
-    from .deflate import pack_bits32
     from .deflate_emit import emit_terms_batch
 
-    B = tf.shape[0]
+    B, TPI_, NBr, L = terms_r.shape
+    Tc = B * TPI_
+    slots = TPI_ * NBr * L
     tabs = jnp.broadcast_to(tabs_small[:, :, None],
                             (B, tabs_small.shape[1], 128))
-    slots = tf.shape[1]
-    flat = tf.reshape(-1)
-    eshape = (flat.shape[0] // (1024 * 128), 1024, 128)
     lo, hi, nb = emit_terms_batch(
-        flat.reshape(eshape), tabs,
-        jnp.full((1,), slots // (1024 * 128), jnp.int32),
-        interpret=interpret)
-    lo_b = lo.reshape(B, slots)
-    hi_b = hi.reshape(B, slots)
-    nb_b = nb.reshape(B, slots)
-    atoms, totals = [], []
-    for i in range(B):
-        a, t = pack_bits32(lo_b[i], hi_b[i], nb_b[i], vm[i],
-                           spans=spans[i])
-        atoms.append(a)
-        totals.append(t)
-    return atoms, totals
+        terms_r.reshape(Tc, NBr, L), tabs,
+        jnp.full((1,), TPI_, jnp.int32), interpret=interpret)
+    vm = valid_r.reshape(Tc, NBr, L) != 0
+    nbv = jnp.where(vm, nb, 0)
+    intra = jnp.cumsum(nbv, axis=1) - nbv            # (Tc, NB, L) excl.
+    colsum = jnp.sum(nbv, axis=1)                    # (Tc, L)
+    colsum2 = colsum.reshape(B, TPI_ * L)            # (tile, lane) order
+    colbase = jnp.cumsum(colsum2, axis=1) - colsum2
+    offs = intra + colbase.reshape(Tc, 1, L)
+    natoms_img = (3 * slots) // 2 + 8
+    reshp = lambda x: x.reshape(B, slots)
+    atoms2, totals = _batch_scatter_pack(
+        reshp(lo), reshp(hi), reshp(nbv), reshp(offs), spans, natoms_img)
+    return ([atoms2[i] for i in range(B)],
+            [totals[i] for i in range(B)])
 
 
 @functools.partial(jax.jit, static_argnames=("spans", "interpret"))
 def _emit_pack_compact(ctms_b, counts_b, tabs_small, *, spans: tuple,
                        interpret: bool = False):
-    """Fused emission + packs over compacted per-image term rows."""
-    from .deflate import pack_bits32
+    """Fused emission + one whole-batch scatter pack over compacted
+    per-image term rows (same single-scatter discipline as
+    :func:`_emit_pack_grid`)."""
     from .deflate_emit import emit_terms_batch
 
     B, cap = ctms_b.shape
@@ -1016,14 +1066,14 @@ def _emit_pack_compact(ctms_b, counts_b, tabs_small, *, spans: tuple,
     lo_b = lo.reshape(B, cap)
     hi_b = hi.reshape(B, cap)
     nb_b = nb.reshape(B, cap)
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    atoms, totals = [], []
-    for i in range(B):
-        a, t = pack_bits32(lo_b[i], hi_b[i], nb_b[i],
-                           pos < counts_b[i], spans=spans[i])
-        atoms.append(a)
-        totals.append(t)
-    return atoms, totals
+    vm = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts_b[:, None]
+    nbv = jnp.where(vm, nb_b, 0)
+    offs = jnp.cumsum(nbv, axis=1) - nbv
+    natoms_img = (3 * cap) // 2 + 8
+    atoms2, totals = _batch_scatter_pack(lo_b, hi_b, nbv, offs, spans,
+                                         natoms_img)
+    return ([atoms2[i] for i in range(B)],
+            [totals[i] for i in range(B)])
 
 
 def batch_layout(ns: list[int]):
@@ -1103,10 +1153,8 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
             jnp.asarray(dv), jnp.asarray(cv), dbuf, nvec,
             dmax=dmax, stride=stride)
     Tc = B * TPI
-    cand = jnp.transpose(cand_flat.reshape(KCAND, Tc, 128, NB),
-                         (1, 0, 3, 2))
-    data2 = jnp.transpose(
-        dbuf[:Ntot].reshape(Tc, 128, NB), (0, 2, 1)).astype(jnp.int32)
+    cand = cand_flat.reshape(KCAND, Tc, 128, NB)
+    data2 = dbuf[:Ntot].reshape(Tc, 128, NB).astype(jnp.int32)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):
         for c in range(-(-len(d) // NB)):
@@ -1143,9 +1191,6 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
         k=KCAND, interpret=interpret, tpi=TPI, iters=iters)
     terms_r = terms.reshape(B, TPI, NB, 128)
     valid_r = valid.reshape(B, TPI, NB, 128)
-    # enqueue the stream-order flatten now: its ~35 ms of transposes
-    # overlap the host tree build below the histogram sync
-    tf_b, vmask_b = _flatten_grid(terms_r, valid_r)
 
     freqs = np.asarray(hist_img).astype(np.int64)      # ONE fetch (B, 320)
     from .deflate import (_emit_tables, max_term_bits, pack_stream32,
@@ -1194,7 +1239,7 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     counts = []
     if skip_compact:
         atoms_list, totals = _emit_pack_grid(
-            tf_b, vmask_b, tabs_small, spans=spans,
+            terms_r, valid_r, tabs_small, spans=spans,
             interpret=interpret)
         counts = [jnp.asarray(np.int32(n_terms[i])) for i in range(B)]
     elif cap % 1024 == 0:

@@ -694,7 +694,7 @@ def _expand_sweeps(ptr, litv, collapse_shape, resid_cap, seg_cap,
 def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
             collapse_shape=None, chase: str = "heavy",
             records_cap: int | None = None, interpret: bool = False,
-            sweep_k: int | None = None):
+            sweep_k: int | None = None, attr_flat=None, is_m_u8=None):
     """Compacted pointer-doubling expansion of LZ77 back-references.
 
     The round-3 compaction scattered every gathered-segment byte

@@ -415,27 +415,29 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                     take2 = (active & (is_lit | is_match) & ~lbad2
                              & (sym2 < 256))
                     aux2 = -(sym2 + 1)
-                # bounded stamp: token spans tile [0, owned) disjointly,
-                # so stamping exactly [cur, cur + tl) assigns every byte
-                # its owning token once (the round-4 tail stamp wrote
-                # [cur, ob) and relied on later tokens overwriting — the
-                # same result at ~2× the VMEM traffic).  Segments are
-                # gated BOTH ways on tile-wide bounds: below min(start)
-                # and at/above max(end) no lane stamps this step.
+                # monotone stamp: tokens arrive in increasing byte order,
+                # so stamping the whole tail [cur, ob) is correct — later
+                # tokens overwrite it; bytes past the last token stay
+                # SENTINEL and are caught by the coverage checks
+                # downstream.  The stamp's VMEM read+write is the
+                # kernel's dominant term, so it is gated per 64-row
+                # segment on the TILE-WIDE minimum cursor: rows below
+                # min(start) are untouched by every lane this step, and
+                # as cursors advance the average stamped span halves.
+                # (A round-5 bounded [cur, cur+tl) stamp with two-sided
+                # gating measured SLOWER — the 1024 units' cursor spread
+                # keeps the [min, max) window wide, so the extra row
+                # compare bought no segment skips.)
                 start = jnp.where(active & (tl > 0), cur, ob)  # ob => no-op
                 if pair:
                     start2 = jnp.where(take2, start + tl, ob)
                     tl = tl + jnp.where(take2, 1, 0)
-                end = jnp.where(active & (tl > 0), cur + tl,
-                                jnp.zeros_like(cur))
                 smin = jnp.min(start)
-                emax = jnp.max(end)
 
                 def _stamp_seg(q, seg):
                     sl = pl.ds(q * seg, seg)
                     rows = iota_b[:, q * seg:(q + 1) * seg]
-                    mask = ((rows >= start[:, None, :])
-                            & (rows < end[:, None, :]))
+                    mask = rows >= start[:, None, :]
                     if pair:
                         m2 = rows >= start2[:, None, :]
                         val = jnp.where(m2, aux2[:, None, :],
@@ -457,7 +459,7 @@ def _make_kernel(S: int, ob: int, k_static: int | None, attr16: bool,
                 SEGQ = 64
                 for q in range(ob // SEGQ):
 
-                    @pl.when((smin < (q + 1) * SEGQ) & (emax > q * SEGQ))
+                    @pl.when(smin < (q + 1) * SEGQ)
                     def _(q=q):
                         _stamp_seg(q, SEGQ)
                 step = step1

@@ -74,7 +74,7 @@ def main() -> None:
         for _ in range(k):
             t0 = time.perf_counter()
             r = fn()
-            _ = int(np.asarray(r)[0, 0])
+            _ = int(np.asarray(r).reshape(-1)[0])
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -69,11 +69,10 @@ def main():
         data, menu, Tc, False))
 
     def relayout():
-        d2 = jnp.transpose(jnp.asarray(buf.reshape(Tc, 128, NB)),
-                           (0, 2, 1)).astype(jnp.int32)
-        return d2
+        # raw layout since round 5 — the DP kernel transposes in VMEM
+        return jnp.asarray(buf.reshape(Tc, 128, NB)).astype(jnp.int32)
 
-    data2 = t("data relayout", relayout)
+    data2 = t("data stage (raw)", relayout)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for c in range(chunks):
         clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
