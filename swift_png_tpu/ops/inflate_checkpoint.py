@@ -719,11 +719,25 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
     In that mode ``cidx``/``src`` cover only the d≥2 match bytes (plus
     RLE bytes sharing their segments), so callers must checksum from the
     output bytes (:func:`_adler_batch`), not from kernel literal partials.
+
+    ``attr_flat``/``is_m_u8`` (non-collapse fast form): skip the N-sized
+    int32 pointer materialization entirely — ``attr_flat`` is the
+    decode kernel's attr buffer viewed flat (a FREE reshape of an
+    existing HBM buffer; match ⇒ value = dist-1 ≥ 0) and ``is_m_u8`` the
+    match mask.  The expansion's only pointer use outside the dense
+    masks is the cap-sized gather at ``cidx``, so pointers are computed
+    AT the gathered points: ``p = cidx - (attr[cidx] + 1)``.  Passing
+    ``ptr=None`` with these saves a ~134 MB int32 operand write + read
+    per batch.
     """
     from ..lz77.index import MATCH_SEG as SEG
 
     assert SEG == 64, "slot-rank bit masks assume 64-byte match segments"
-    N = ptr.shape[0]
+    if attr_flat is not None:
+        assert collapse_shape is None and ptr is None
+        N = attr_flat.shape[0]
+    else:
+        N = ptr.shape[0]
     j = jnp.arange(N, dtype=jnp.int32)
     if collapse_shape is not None and sweep_k:
         # match-RICH foreign-style content: dense distance sweeps with
@@ -755,10 +769,13 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
         Bc, Opadc = collapse_shape
         ptr, m1 = _collapse_ptr(ptr)
         keep_b = (ptr != j) & ~m1
+        is_m = ptr != j
+    elif attr_flat is not None:
+        m1 = None
+        keep_b = is_m = is_m_u8 != 0
     else:
         m1 = None
-        keep_b = ptr != j
-    is_m = ptr != j
+        keep_b = is_m = ptr != j
     Np = -(-N // SEG) * SEG
     nseg = Np // SEG
     if seg_cap is None:
@@ -826,8 +843,17 @@ def _expand(ptr, litv, expand_cap, seg_cap: int | None = None,
         ss - srows[:, 1])
     cidx = jnp.where(ss < total_slots,
                      jnp.minimum(srows[:, 0] * SEG + soff, N), N)
-    ptr_pad = jnp.concatenate([ptr, jnp.arange(N, N + 1, dtype=jnp.int32)])
-    p = ptr_pad[jnp.clip(cidx, 0, N)]
+    if attr_flat is not None:
+        # every real slot is a match byte, so its pointer is computed at
+        # the gathered point from the kernel's attr buffer directly —
+        # the N-sized int32 ptr array never exists
+        cc = jnp.clip(cidx, 0, N - 1)
+        a_g = attr_flat[cc].astype(jnp.int32)
+        p = jnp.where(cidx >= N, N, cc - (a_g + 1))
+    else:
+        ptr_pad = jnp.concatenate([ptr,
+                                   jnp.arange(N, N + 1, dtype=jnp.int32)])
+        p = ptr_pad[jnp.clip(cidx, 0, N)]
 
     # ---- rank hop + pointer-doubling chase over the slot graph ----
     # (identical semantics to _expand_legacy's heavy path; matches point
@@ -1141,7 +1167,13 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     b = jnp.arange(ob, dtype=jnp.int32)[None, :]
     u = jnp.arange(U_pad, dtype=jnp.int32)[:, None]
     j = u * ob + b
-    live = (u < U_live) & ((j % Opad) < out_size)
+    if Opad == out_size:
+        # aligned streams (ob | out_size): every byte of a live unit is
+        # live — skipping the (j % Opad) saves a 33 M-element integer
+        # division by a non-pow2 modulus
+        live = jnp.broadcast_to(u < U_live, (U_pad, ob))
+    else:
+        live = (u < U_live) & ((j % Opad) < out_size)
     ism_b = attr >= 0                       # match: attr = dist - 1
     is_lit = (attr < 0) & (attr != SENTINEL)
     a32 = attr.astype(jnp.int32)
@@ -1170,19 +1202,31 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
         s2k = s2k.reshape(U_pad) + jnp.sum((ob - b) * d, axis=1)
 
     litv = litv.reshape(-1)
-    ptr = jnp.where(live & ism_b, j - (a32 + 1), j).reshape(-1)
+    # stream base of unit u = (u // Ui)·Opad — per-unit, never a 33 M-
+    # element modulus
+    sbase = (u // Ui) * Opad
     flag = flag | jnp.where(
-        jnp.any((ptr.reshape(U_pad, ob) < (j - j % Opad)) & live & ism_b,
-                axis=1), F_BAD, 0)
+        jnp.any((j - (a32 + 1) < sbase) & live & ism_b, axis=1),
+        F_BAD, 0)
     flag = flag | jnp.where(jnp.any(live & uncovered, axis=1), F_BAD, 0)
     # padding units report no flags (their kernel coverage bit is clear
     # because they own 0 bytes; mask anyway for the global tail)
     flag = jnp.where(u[:, 0] < U_live, flag, 0)
 
-    out, ovf, cidx, src = _expand(
-        ptr, litv, expand_cap, seg_cap,
-        collapse_shape=(B, Opad) if collapse else None, chase=chase,
-        records_cap=records_cap, interpret=interpret, sweep_k=sweep_k)
+    if collapse:
+        ptr = jnp.where(live & ism_b, j - (a32 + 1), j).reshape(-1)
+        out, ovf, cidx, src = _expand(
+            ptr, litv, expand_cap, seg_cap,
+            collapse_shape=(B, Opad), chase=chase,
+            records_cap=records_cap, interpret=interpret, sweep_k=sweep_k)
+    else:
+        # gather pointers lazily from the kernel's attr buffer (free
+        # reshape) — the N-sized int32 ptr operand never materializes
+        out, ovf, cidx, src = _expand(
+            None, litv, expand_cap, seg_cap, chase=chase,
+            records_cap=records_cap, interpret=interpret, sweep_k=sweep_k,
+            attr_flat=attr4.reshape(-1),
+            is_m_u8=(live & ism_b).astype(jnp.uint8).reshape(-1))
     out2 = out[:U_live * ob].reshape(B, Opad)
     if collapse:
         # cidx/src cover only d>=2 bytes here (RLE bytes were value-
