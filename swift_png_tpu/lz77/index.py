@@ -44,8 +44,9 @@ from .errors import DecompressionError
 __all__ = ["CheckpointIndex", "build_index", "INDEX_VERSION", "MATCH_SEG",
            "FIXED_LIT_LENGTHS", "FIXED_DIST_LENGTHS"]
 
-INDEX_VERSION = 4
+INDEX_VERSION = 5
 MATCH_SEG = 64   # output bytes per match-segment (expansion compaction)
+MAX_STORED_GAPS = 8   # copy-source interruptions per stored unit (v5)
 
 KIND_HUFFMAN = 0
 KIND_STORED = 1
@@ -102,6 +103,11 @@ class CheckpointIndex:
                                # follows a literal or match in the same
                                # step (v3; None ⇒ unknown — callers
                                # bound by n_tokens)
+    extra_gaps: dict | None = None        # v5: unit → [(off, len), …] for
+                               # stored units whose copy source is
+                               # interrupted MORE than once (flush-heavy
+                               # chains with blocks smaller than ob);
+                               # at most MAX_STORED_GAPS gaps total/unit
 
     def __post_init__(self):
         self.lit_lengths = np.atleast_2d(np.asarray(self.lit_lengths,
@@ -165,7 +171,10 @@ class CheckpointIndex:
         U = self.units
         NB = self.n_blocks
         out = bytearray()
-        out += bytes([INDEX_VERSION])
+        # streams without multi-gap units serialize as v4 (readable by
+        # round-4 parsers); the v5 tail section exists only when needed
+        ver = 5 if self.extra_gaps else 4
+        out += bytes([ver])
         out += int(self.ob).to_bytes(4, "big")
         out += int(self.out_size).to_bytes(8, "big")
         out += int(self.end_bit).to_bytes(8, "big")
@@ -189,11 +198,19 @@ class CheckpointIndex:
                   else int(self.n_tokens[u]))
             out += ps.to_bytes(2, "big")
             out += int(self.gap_len[u]).to_bytes(2, "big")
+        if ver >= 5:
+            recs = [(u, off, ln) for u in sorted(self.extra_gaps)
+                    for off, ln in self.extra_gaps[u]]
+            out += len(recs).to_bytes(4, "big")
+            for u, off, ln in recs:
+                out += int(u).to_bytes(4, "big")
+                out += int(off).to_bytes(2, "big")
+                out += int(ln).to_bytes(2, "big")
         return bytes(out)
 
     @classmethod
     def parse(cls, data: bytes) -> "CheckpointIndex":
-        if not data or data[0] not in (1, 2, 3, 4):
+        if not data or data[0] not in (1, 2, 3, 4, 5):
             raise ValueError("unsupported checkpoint index version")
         ver = data[0]
         ob = int.from_bytes(data[1:5], "big")
@@ -217,7 +234,7 @@ class CheckpointIndex:
             o += 288
             dist[b] = np.frombuffer(data[o:o + 32], np.uint8)
             o += 32
-        rs = {1: 8, 2: 17, 3: 19, 4: 21}[ver]
+        rs = {1: 8, 2: 17, 3: 19, 4: 21, 5: 21}[ver]
         rec = np.frombuffer(data[o:o + rs * U], np.uint8).reshape(U, rs)
         deltas = (rec[:, 0].astype(np.uint64) << 24 |
                   rec[:, 1].astype(np.uint64) << 16 |
@@ -241,10 +258,27 @@ class CheckpointIndex:
         if ver >= 4:
             gl = ((rec[:, 19].astype(np.uint16) << 8)
                   | rec[:, 20]).astype(np.uint16)
+        eg = None
+        if ver >= 5:
+            o += rs * U
+            cnt = int.from_bytes(data[o:o + 4], "big")
+            o += 4
+            if cnt > U * (MAX_STORED_GAPS - 1):
+                raise ValueError("oversized extra-gap section")
+            eg = {}
+            for _ in range(cnt):
+                u = int.from_bytes(data[o:o + 4], "big")
+                off = int.from_bytes(data[o + 4:o + 6], "big")
+                ln = int.from_bytes(data[o + 6:o + 8], "big")
+                o += 8
+                if u >= U:
+                    raise ValueError("extra-gap unit out of range")
+                eg.setdefault(u, []).append((off, ln))
         return cls(ob=ob, out_size=out_size, bit_pos=bit_pos, skip=skip,
                    n_tokens=n_tokens, lit_lengths=lit, dist_lengths=dist,
                    end_bit=end_bit, unit_block=ub, unit_kind=uk,
-                   eob_jump=ej, gap_off=gp, pair_steps=ps, gap_len=gl)
+                   eob_jump=ej, gap_off=gp, pair_steps=ps, gap_len=gl,
+                   extra_gaps=eg)
 
 
 class _BitWalker:
@@ -336,6 +370,10 @@ def build_index(body: bytes, out_size: int, ob: int = 1024,
             except native.NativeError:
                 # keep the host taxonomy for malformed streams
                 raise DecompressionError.invalid_huffman_table()
+            if r == "host-retry":
+                # multi-gap stored chain — only the v5 host walker
+                # records per-unit extra gaps
+                return _build_index_host(body, out_size, ob)
             if r is not None:
                 (bit_pos, skip, n_tokens, ub, uk, ej, gp, gl, ps, lit,
                  dist, end_bit, mb, ms) = r
@@ -376,6 +414,7 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
     eob_jump = np.zeros(U, np.uint32)
     gap_off = np.full(U, GAP_NONE, np.uint16)
     gap_len = np.zeros(U, np.uint16)
+    extra_gaps: dict[int, list[tuple[int, int]]] = {}
     pair_steps = np.zeros(U, np.uint32)
     blocks: list[tuple[np.ndarray, np.ndarray]] = []
 
@@ -441,13 +480,19 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
                 if o % ob != 0:
                     # mid-unit entry: legal only when continuing a
                     # stored chain (the unit's copy source resumes after
-                    # the accumulated headers → record the gap)
+                    # the accumulated headers → record the gap; tiny
+                    # flush-heavy chains interrupt one unit several
+                    # times — v5 carries up to MAX_STORED_GAPS of them)
                     if not stored_open:
                         return None  # huffman/stored mixed unit
-                    if gap_off[unit] != GAP_NONE:
-                        return None  # two gaps in one unit
-                    gap_off[unit] = o % ob
-                    gap_len[unit] = chain_gap + 5
+                    if gap_off[unit] == GAP_NONE:
+                        gap_off[unit] = o % ob
+                        gap_len[unit] = chain_gap + 5
+                    else:
+                        ex = extra_gaps.setdefault(unit, [])
+                        if len(ex) >= MAX_STORED_GAPS - 1:
+                            return None  # beyond the v5 gap budget
+                        ex.append((o % ob, chain_gap + 5))
                 end_o = o + ln
                 first_u = o // ob if o % ob == 0 else o // ob + 1
                 for u in range(first_u, (end_o + ob - 1) // ob):
@@ -634,4 +679,5 @@ def _build_index_host(body: bytes, out_size: int, ob: int,
         n_tokens=n_tokens, lit_lengths=lit, dist_lengths=dist,
         end_bit=w.pos, match_bytes=match_bytes, match_segs=match_segs,
         unit_block=unit_block, unit_kind=unit_kind, eob_jump=eob_jump,
-        gap_off=gap_off, gap_len=gap_len, pair_steps=pair_steps)
+        gap_off=gap_off, gap_len=gap_len, pair_steps=pair_steps,
+        extra_gaps=extra_gaps or None)

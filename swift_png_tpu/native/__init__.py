@@ -33,7 +33,7 @@ _ERRORS = {
 _FORMATS = {"zlib": 0, "ios": 1, "raw": 1, "gzip": 2}
 
 
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 def _abi_version(lib) -> int:
@@ -336,6 +336,10 @@ def build_index(body: bytes, out_size: int, ob: int = 256):
         raise NativeError(int(r))
     if r == 0:
         return None
+    if r == 2:
+        # multi-gap stored chain: outside the native walker's v4 record
+        # shape but INSIDE the v5 host walker's — caller retries there
+        return "host-retry"
     nb = max(int(info[3]), 1)
     return (bit_pos, skip, n_tokens, unit_block.astype(np.int32),
             unit_kind, eob_jump, gap_off.astype(np.uint16),

@@ -21,7 +21,7 @@ extern "C" {
 // rebuilds) a library whose version doesn't match, so a stale cached .so
 // can never be called through a new ABI (e.g. spt_build_index gained a
 // pair_steps pointer for v3 indexes).
-int spt_abi_version() { return 5; }
+int spt_abi_version() { return 6; }
 
 // ---------------------------------------------------------------------------
 // checksums
@@ -678,7 +678,9 @@ long long spt_build_index(const uint8_t* body, size_t n, uint64_t out_size,
                 if (o + len > out_size) return 0;
                 if (o % ob != 0) {
                     if (!stored_open) return 0;   // huffman/stored mix
-                    if (gap_off[unit] != GAP_NONE) return 0;  // two gaps
+                    if (gap_off[unit] != GAP_NONE) return 2;  // >1 gap in
+                    // one unit: the v5 HOST walker carries extra gaps —
+                    // return the retry code instead of "not indexable"
                     gap_off[unit] = (uint32_t)(o % ob);
                     gap_len[unit] = chain_gap + 5;
                 }

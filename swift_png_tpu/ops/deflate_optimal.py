@@ -559,8 +559,10 @@ def _make_dp_kernel(k: int):
         # inputs arrive in RAW stream layout ((128 chunks, NB) rows) and
         # are transposed to chunk-per-lane HERE, on VMEM-resident vregs —
         # the round-4 XLA-side transposes were relayout-priced
-        # (~31 ms/batch for cand+data at B=8)
-        data_scr[...] = jnp.swapaxes(data_ref[0], 0, 1)
+        # (~31 ms/batch for cand+data at B=8), and so was an XLA-side
+        # u8→i32 astype (u8 (32,128) tiling → i32 (8,128) is itself a
+        # relayout) — the bytes upcast in VMEM instead
+        data_scr[...] = jnp.swapaxes(data_ref[0].astype(jnp.int32), 0, 1)
         cand_scr[...] = jnp.swapaxes(cand_ref[:, 0], 1, 2)
         cost_scr[...] = jnp.where(rows == 0, 0, INF)
         plen_scr[...] = jnp.zeros((NB + 264, 128), jnp.int32)
@@ -679,9 +681,9 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
     """Run the DP kernel over all chunk tiles.
 
     Args:
-      data2: ``(Tc, 128, NB)`` int32 — chunk bytes in RAW stream layout
+      data2: ``(Tc, 128, NB)`` uint8 — chunk bytes in RAW stream layout
         (chunk ``c`` of tile ``t`` on sublane row ``c``; the kernel
-        transposes to chunk-per-lane on VMEM vregs).
+        upcasts and transposes to chunk-per-lane on VMEM vregs).
       clen: ``(Tc, 8, 128)`` int32 — live bytes per chunk (row 0).
       cand: ``(k, Tc, 128, NB)`` int32 — packed ``dist<<9 | run``, raw
         stream layout (a pure reshape of the candidate kernel output).
@@ -811,7 +813,7 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
     # relayout (the tunnel transfer dwarfs the on-device transposes)
     dbuf = stage_buf(data, Tc)
     cand = candidates_device(data, menu, Tc, interpret, dbuf=dbuf)
-    data2 = dbuf[:Npad].reshape(Tc, 128, NB).astype(jnp.int32)
+    data2 = dbuf[:Npad].reshape(Tc, 128, NB)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for c in range(chunks):
         clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
@@ -960,19 +962,19 @@ def deflate_device_optimal(data: bytes, level: int = 9,
 
 def _batch_scatter_pack(lo_b, hi_b, nbv, offs, spans: tuple,
                         natoms_img: int):
-    """ONE whole-batch scatter pack from per-image bit offsets.
+    """Per-image scatter packs from grid-order bit offsets, one program.
 
     ``lo_b/hi_b/nbv/offs``: ``(B, n)`` int32 — each image's term bit
     patterns, masked bit counts (0 = dead slot), and within-image stream
-    bit offsets.  Image ``i`` packs into the static region
-    ``[i·natoms_img, (i+1)·natoms_img)`` of one atoms buffer, so the
-    whole batch is 2 scatter passes (3-span images pay their third pass
-    over just their own rows) instead of B programs each paying the
-    multi-ms dispatch floor.  Placement math is identical to
+    bit offsets (ANY element order — a scatter's offsets are order-
+    free).  The scatters stay PER IMAGE on purpose: a round-5 variant
+    that packed the whole batch into one ``B·natoms_img`` buffer
+    measured ~1.7× slower — scatter cost on this chip rises from ~8 to
+    ~13+ ns/index once the target table leaves the tens-of-MB range.
+    Placement math is identical to
     :func:`swift_png_tpu.ops.deflate.pack_bits32`.
     """
     B, n = nbv.shape
-    natoms_total = B * natoms_img
     a0 = offs >> 5
     sub = offs & 31
     nsub = (32 - sub) & 31
@@ -982,25 +984,17 @@ def _batch_scatter_pack(lo_b, hi_b, nbv, offs, spans: tuple,
                   ((lo_b >> 1) & 0x7FFFFFFF) >> (nsub - 1)) | (hi_b << sub),
         jnp.where(sub == 0, 0, ((hi_b >> 1) & 0x7FFFFFFF) >> (nsub - 1)),
     ]
-    base = (jnp.arange(B, dtype=jnp.int32) * natoms_img)[:, None]
-    atoms = jnp.zeros(natoms_total, jnp.int32)
-    for k in range(2):
-        live = (32 * k < sub + nbv) & (nbv > 0)
-        tgt = jnp.where(live, base + a0 + k, natoms_total)
-        atoms = atoms.at[tgt.reshape(-1)].add(
-            jnp.where(live, vals[k], 0).reshape(-1), mode="drop")
-    long_rows = [i for i, s in enumerate(spans) if s >= 3]
-    if long_rows:
-        # the third span exists only for images whose trees admit >33-bit
-        # terms; running it over just their rows keeps short images from
-        # paying dead full-price scatter indices
-        sel = jnp.asarray(long_rows, jnp.int32)
-        live = ((64 < sub[sel] + nbv[sel]) & (nbv[sel] > 0))
-        tgt = jnp.where(live, base[sel] + a0[sel] + 2, natoms_total)
-        atoms = atoms.at[tgt.reshape(-1)].add(
-            jnp.where(live, vals[2][sel], 0).reshape(-1), mode="drop")
+    atoms_all = []
+    for i in range(B):
+        atoms = jnp.zeros(natoms_img, jnp.int32)
+        for k in range(spans[i]):
+            live = (32 * k < sub[i] + nbv[i]) & (nbv[i] > 0)
+            tgt = jnp.where(live, a0[i] + k, natoms_img)
+            atoms = atoms.at[tgt].add(
+                jnp.where(live, vals[k][i], 0), mode="drop")
+        atoms_all.append(atoms)
     totals = jnp.sum(nbv, axis=1)
-    return atoms.reshape(B, natoms_img), totals
+    return jnp.stack(atoms_all), totals
 
 
 @functools.partial(jax.jit, static_argnames=("spans", "interpret"))
@@ -1154,7 +1148,7 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
             dmax=dmax, stride=stride)
     Tc = B * TPI
     cand = cand_flat.reshape(KCAND, Tc, 128, NB)
-    data2 = dbuf[:Ntot].reshape(Tc, 128, NB).astype(jnp.int32)
+    data2 = dbuf[:Ntot].reshape(Tc, 128, NB)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):
         for c in range(-(-len(d) // NB)):

@@ -1141,12 +1141,14 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     ``multiblock`` selects the table-switching kernel (units may cross
     one DEFLATE block boundary; ``meta`` row 3 carries the per-unit EOB
     jump).  ``has_stored`` enables the stored-unit byte fill:
-    ``stored_gap`` is ``(2, U_pad) int32`` — row 0 is ``-1`` for token
-    units, else the local offset where stored-block headers interrupt
-    the copy source (``>= ob`` for contiguous copies); row 1 is the gap
-    width in bytes (5 per header crossed — flush markers between stored
-    blocks stack).  Stored units' bytes are unpacked densely from their
-    spans (no kernel work, no gathers).
+    ``stored_gap`` is ``(2·NG, U_pad) int32`` — rows ``0…NG`` are gap
+    offsets (row 0 is ``-1`` for token units, else the local offset
+    where stored-block headers interrupt the copy source, ``>= ob`` for
+    contiguous copies; later rows are ``ob`` when absent) and rows
+    ``NG…2·NG`` the matching gap widths (5 per header crossed — flush
+    markers between stored blocks stack; flush-heavy chains interrupt a
+    unit several times, index v5).  Stored units' bytes are unpacked
+    densely from their spans (no kernel work, no gathers).
     """
     from .inflate_pallas import SENTINEL, decode_stamp_pallas
 
@@ -1181,18 +1183,22 @@ def inflate_indexed_pallas(kbound, spans3, meta, tabs, symtab, *,
     uncovered = attr == SENTINEL
 
     if has_stored:
+        ng = stored_gap.shape[0] // 2
         goff = stored_gap[0]
-        glen = stored_gap[1]
         stored = (goff >= 0)[:, None]                   # (U_pad, 1)
         # dense byte unpack of each stored unit's span head; the copy
-        # source skips the recorded gap (stored headers + any stacked
-        # flush markers) at the recorded offset
+        # source skips every recorded gap (stored headers + any stacked
+        # flush markers) at its recorded offset — cumulative over the
+        # unit's up-to-NG gaps (index v5 multi-gap chains)
         spw = jnp.transpose(spans3, (0, 1, 3, 2)).reshape(U_pad, S)
         sb = jnp.stack([spw & 255, (spw >> 8) & 255,
                         (spw >> 16) & 255, (spw >> 24) & 255],
                        axis=-1).reshape(U_pad, S * 4).astype(jnp.uint8)
-        after = b >= jnp.where(goff >= 0, goff, ob)[:, None]
-        idx = b + jnp.where(after, glen[:, None], 0)
+        idx = b
+        for kg in range(ng):
+            offk = stored_gap[kg]
+            after = b >= jnp.where(offk >= 0, offk, ob)[:, None]
+            idx = idx + jnp.where(after, stored_gap[ng + kg][:, None], 0)
         sbytes = jnp.take_along_axis(sb, idx, axis=1)
         litv = jnp.where(stored & live, sbytes, litv)
         uncovered = uncovered & ~stored
@@ -1293,8 +1299,20 @@ class CheckpointInflator:
         U_live = B * Ui
         U = -(-U_live // TUB) * TUB if pallas else U_live
         has_stored = any(ix.unit_kind.any() for ix in indexes)
+        # v5 multi-gap stored chains: per-unit TOTAL skipped bytes bound
+        # the span, and the gap table carries one (off, len) row pair per
+        # gap rank present anywhere in the batch
+        n_gaps = 1
+        gmax = 5
+        for ix in indexes:
+            gmax = max(gmax, int(ix.gap_len.max()))
+            if ix.extra_gaps:
+                n_gaps = max(n_gaps,
+                             1 + max(len(v) for v in ix.extra_gaps.values()))
+                for u, ex in ix.extra_gaps.items():
+                    gmax = max(gmax, int(ix.gap_len[u])
+                               + sum(ln for _, ln in ex))
         span_bytes = max(ix.max_span_bytes() for ix in indexes)
-        gmax = max([5] + [int(ix.gap_len.max()) for ix in indexes])
         if has_stored:
             span_bytes = max(span_bytes, ob + 9 + gmax)
         if pallas:
@@ -1309,8 +1327,9 @@ class CheckpointInflator:
         nskip = np.zeros(U, np.int32)   # next unit's skip (same stream)
         owned = np.zeros(U, np.int32)
         jump = np.zeros(U, np.int32)
-        sgap = np.full(U, -1, np.int32)
-        sglen = np.zeros(U, np.int32)
+        sgap = np.full((n_gaps, U), -1, np.int32)
+        sgap[1:] = ob          # rank-2+ gaps: ob = "never" for absent
+        sglen = np.zeros((n_gaps, U), np.int32)
         tab_a = np.zeros(U, np.int64)   # per-unit block-table ids into the
         tab_b = np.zeros(U, np.int64)   # stacked all-streams table pool
         pool_lit: list[np.ndarray] = []
@@ -1342,12 +1361,17 @@ class CheckpointInflator:
             # their bytes are unpacked densely on the XLA side
             owned[base: base + Ui] = np.where(st, 0, ow)
             jump[base: base + Ui] = ix.eob_jump.astype(np.int32)
-            sgap[base: base + Ui] = np.where(
+            sgap[0, base: base + Ui] = np.where(
                 st, np.where(ix.gap_off == GAP_NONE, ob,
                              ix.gap_off.astype(np.int32)), -1)
-            sglen[base: base + Ui] = np.where(
+            sglen[0, base: base + Ui] = np.where(
                 st & (ix.gap_off != GAP_NONE),
                 ix.gap_len.astype(np.int32), 0)
+            if ix.extra_gaps:
+                for u, ex in ix.extra_gaps.items():
+                    for kg, (goff, glen) in enumerate(ex, start=1):
+                        sgap[kg, base + u] = goff
+                        sglen[kg, base + u] = glen
             p0 = len(pool_lit)
             NBi = ix.n_blocks
             for bnum in range(NBi):
@@ -1417,7 +1441,7 @@ class CheckpointInflator:
             # kernel's row-store fast loop (two literals per step)
             lit_ok = ((owned == 0)
                       | ((n_tokens == owned) & (skip == 0) & (nskip == 0)
-                         & (jump == 0) & (sgap < 0)))
+                         & (jump == 0) & (sgap[0] < 0)))
             lit_mode = lit_ok.reshape(T, TUB).all(axis=1)
             # tile mode 2: mixed tiles whose paired-step bound is
             # meaningfully below the token bound run the pairing loop
@@ -1429,8 +1453,9 @@ class CheckpointInflator:
             kb = np.where(lit_mode, -(-kb // 2),
                           np.where(pair_mode, pb, kb)).astype(np.int32)
             prep["kbound"] = jnp.asarray(np.stack([kb, mode], axis=1))
-            prep["stored_gap"] = (jnp.asarray(np.stack([sgap, sglen]))
-                                  if has_stored else None)
+            prep["stored_gap"] = (
+                jnp.asarray(np.concatenate([sgap, sglen], axis=0))
+                if has_stored else None)
         else:
             prep.update(spans=jnp.asarray(spans_w), sub0=jnp.asarray(sub0),
                         n_tokens=jnp.asarray(n_tokens),
@@ -1456,46 +1481,91 @@ class CheckpointInflator:
         if collapse is None:
             collapse = self.auto_collapse(
                 match_total, B0, out_size0, Ui0, ob0)
-        # match-rich batches: probe one stream's match structure BEFORE
-        # the (expensive) device span staging and pick the tier up
-        # front; near-uniform match distances route to the host tier
-        # outright (see _probe_match_profile)
+        # match-rich batches: probe STREAMS' match structure BEFORE the
+        # (expensive) device span staging and pick the tier up front;
+        # near-uniform match distances route to the host tier outright
+        # (see _probe_match_profile).  Probing is PER STREAM (a spread
+        # sample first, every stream on disagreement), so a mixed batch
+        # splits across tiers instead of riding one engine wholesale.
         force_sweeps = False
         if (collapse and (Ui0 * ob0) % 128 == 0
                 and match_total * 2 > B0 * out_size0):
-            probe = _probe_match_profile(bodies[0])
-            if probe is not None:
+            from .inflate_seqcopy import RECORDS_SMEM_CAP
+            from .. import native as _native
+
+            def _decide(body):
+                probe = _probe_match_profile(body)
+                if probe is None:
+                    return "device"
                 cov48, runs, mb, ob_seen = probe
-                est_runs = runs * (B0 * out_size0) // ob_seen
-                from .inflate_seqcopy import RECORDS_SMEM_CAP
-
-                if est_runs > RECORDS_SMEM_CAP:
-                    from .. import native as _native
-
+                est_runs = runs * out_size0 // max(ob_seen, 1)
+                if est_runs * B0 > RECORDS_SMEM_CAP:
                     if cov48 < 0.5 and _native.available():
                         # zlib -9-class noisy content: ~uniform match
                         # distances (measured 18K+ distinct, top-48
                         # coverage ~4 %) defeat every dense device
                         # strategy on this chip; the multithreaded
-                        # native tier wins outright.  Checksums ride a
-                        # thread pool too (ctypes releases the GIL).
-                        from concurrent.futures import ThreadPoolExecutor
+                        # native tier wins outright
+                        return "host"
+                    return "sweeps"
+                return "device"
 
-                        assert all(int(ix.out_size) == out_size0
-                                   for ix in indexes)
-                        outs = _native.inflate_batch(
-                            bodies, out_size0, "ios")
-                        with ThreadPoolExecutor() as pool:
-                            adler = np.asarray(
-                                list(pool.map(_native.adler32, outs)),
-                                np.uint32)
-                        arr = np.stack([
-                            np.frombuffer(o, np.uint8) for o in outs])
-                        self.last_plan = dict(tier="host")
-                        if keep_on_device:
-                            return jnp.asarray(arr), adler
-                        return arr, adler
-                    force_sweeps = True
+            sample = sorted({0, B0 // 3, (2 * B0) // 3, B0 - 1})
+            dec = {i: _decide(bodies[i]) for i in sample}
+            if len(set(dec.values())) > 1:
+                for i in range(B0):
+                    if i not in dec:
+                        dec[i] = _decide(bodies[i])
+            hostset = [i for i in range(B0) if dec.get(i) == "host"]
+            if 0 < len(hostset) < B0:
+                # mixed batch: host tier serves its streams on native
+                # threads OVERLAPPED with the device subset's pipeline
+                from concurrent.futures import ThreadPoolExecutor
+
+                devset = [i for i in range(B0) if i not in hostset]
+                pool = ThreadPoolExecutor(max_workers=4)
+                fut = pool.submit(_native.inflate_batch,
+                                  [bodies[i] for i in hostset],
+                                  out_size0, "ios")
+                dout, dadler = self.run([bodies[i] for i in devset],
+                                        [indexes[i] for i in devset],
+                                        keep_on_device=False,
+                                        collapse=collapse)
+                houts = fut.result()
+                hadler = list(pool.map(_native.adler32, houts))
+                pool.shutdown()
+                arr = np.empty((B0, out_size0), np.uint8)
+                adler = np.empty(B0, np.uint32)
+                for j, i in enumerate(devset):
+                    arr[i] = dout[j]
+                    adler[i] = dadler[j]
+                for j, i in enumerate(hostset):
+                    arr[i] = np.frombuffer(houts[j], np.uint8)
+                    adler[i] = hadler[j]
+                self.last_plan = dict(tier="mixed", hostset=hostset)
+                if keep_on_device:
+                    return jnp.asarray(arr), adler
+                return arr, adler
+            if hostset:
+                # whole batch on the multithreaded native tier; the
+                # checksums ride a thread pool too (ctypes releases
+                # the GIL)
+                from concurrent.futures import ThreadPoolExecutor
+
+                assert all(int(ix.out_size) == out_size0
+                           for ix in indexes)
+                outs = _native.inflate_batch(bodies, out_size0, "ios")
+                with ThreadPoolExecutor() as pool:
+                    adler = np.asarray(
+                        list(pool.map(_native.adler32, outs)), np.uint32)
+                arr = np.stack([np.frombuffer(o, np.uint8)
+                                for o in outs])
+                self.last_plan = dict(tier="host")
+                if keep_on_device:
+                    return jnp.asarray(arr), adler
+                return arr, adler
+            if any(v == "sweeps" for v in dec.values()):
+                force_sweeps = True
 
         prep = self.prepare(bodies, indexes)
         cap_max = prep["B"] * prep["Ui_pad"] * prep["ob"]

@@ -27,22 +27,27 @@ import conftest  # noqa: F401
 GOLDENS = os.path.join(os.path.dirname(__file__), "data",
                        "device_parse_goldens.json")
 FULL = os.environ.get("SPT_FULL_GOLDENS") == "1"
-# smallest baselines — fast enough for every CI run
+# smallest baselines — fast enough for every CI run; the photographic
+# entry covers the class whose menus regress (round-4 verdict #6)
 SUBSET = [
     "indexed8-color-nonphotographic.png",
     "indexed8-monochrome-nonphotographic.png",
     "v8-monochrome-nonphotographic.png",
     "va8-monochrome-nonphotographic.png",
 ]
+SUBSET_PHOTO = ["indexed8-color-photographic.png"]
 
 
 def _cases():
     if not os.path.exists(GOLDENS):
         return []
     g = json.load(open(GOLDENS))
-    names = sorted(g) if FULL else [n for n in SUBSET if n in g]
-    levels = (8, 9, 13) if FULL else (9,)
-    return [(n, lvl, g[n]) for n in names for lvl in levels]
+    if FULL:
+        return [(n, lvl, g[n]) for n in sorted(g) for lvl in (8, 9, 13)]
+    cases = [(n, lvl, g[n]) for n in SUBSET if n in g
+             for lvl in (8, 9, 13)]
+    cases += [(n, 9, g[n]) for n in SUBSET_PHOTO if n in g]
+    return cases
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDENS),
@@ -81,3 +86,41 @@ def test_device_parse_vs_native9_bounds():
     assert min(ratios) <= 0.97, f"best ratio {min(ratios):.4f}"
     assert med <= 1.10, f"device L9 median {med:.4f} vs native-9"
     assert max(ratios) <= 1.80, f"worst ratio {max(ratios):.4f}"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDENS),
+                    reason="goldens not generated")
+def test_strict_policy_routed_envelope():
+    """PRODUCTION envelope: the strict size policy's routing decision
+    (sampled native probes, ``deflate_device_optimal_batch``'s default
+    through ``BatchCodec.encode``) applied to the committed goldens must
+    never ship a stream materially larger than native-9 — median ≤ 1.00
+    and worst ≤ 1.03 across all 28 baselines (the raw device-parse
+    envelope above documents the unrouted menu quality)."""
+    from swift_png_tpu import native
+    from swift_png_tpu.ops.deflate_optimal import (_STRICT_FULL_N,
+                                                   _STRICT_MARGIN,
+                                                   _strict_estimate)
+    from tools.gen_device_parse_goldens import filtered_payload
+
+    if not native.available():
+        pytest.skip("native engine required for the probes")
+    g = json.load(open(GOLDENS))
+    ratios = []
+    for name, e in g.items():
+        if "native9" not in e:
+            continue
+        data, _, _ = filtered_payload(
+            f"/root/reference/Tests/Baselines/{name}")
+        kind, est = _strict_estimate(data, 9)
+        dev = e["l9"]
+        if kind == "full":
+            routed = min(dev, len(est))
+        elif dev > est * len(data) * _STRICT_MARGIN:
+            routed = min(dev, e["native9"])
+        else:
+            routed = dev
+        ratios.append(routed / e["native9"])
+    med = statistics.median(ratios)
+    assert med <= 1.00, f"routed median {med:.4f} vs native-9"
+    assert max(ratios) <= 1.03, f"routed worst {max(ratios):.4f}"

@@ -104,3 +104,62 @@ def test_spix_v4_serialization_roundtrip():
     assert np.array_equal(back.gap_len, ix.gap_len)
     assert np.array_equal(back.bit_pos, ix.bit_pos)
     assert np.array_equal(back.pair_steps, ix.pair_steps)
+
+
+def _flush_chain_stream(step: int, n: int = 1 << 15):
+    """Incompressible payload emitted with a Z_FULL_FLUSH every ``step``
+    bytes: zlib stores each chunk, so one 256-byte unit's copy source is
+    interrupted several times (index v5 multi-gap chains)."""
+    import zlib
+
+    rng = np.random.default_rng(7)
+    pay = rng.integers(0, 255, n).astype(np.uint8).tobytes()
+    co = zlib.compressobj(6)
+    parts = []
+    for i in range(0, n, step):
+        parts.append(co.compress(pay[i:i + step]))
+        parts.append(co.flush(zlib.Z_FULL_FLUSH))
+    parts.append(co.flush())
+    return pay, b"".join(parts)
+
+
+def test_multi_gap_stored_chain_indexes_and_decodes():
+    import zlib
+
+    pay, stream = _flush_chain_stream(64)
+    body = stream[2:-4]
+    ix = build_index(body, len(pay), 256)
+    assert ix is not None, "64-byte stored chains must index (v5)"
+    assert ix.extra_gaps, "expected multi-gap units"
+    assert max(len(v) for v in ix.extra_gaps.values()) >= 1
+    for backend in ("xla", "pallas"):
+        eng = CheckpointInflator(ob=256, backend=backend)
+        out, adler = eng.run([body], [ix], keep_on_device=False)
+        assert bytes(np.asarray(out)[0].tobytes()) == pay, backend
+        assert int(adler[0]) == zlib.adler32(pay)
+
+
+def test_multi_gap_serialization_v5_roundtrip():
+    pay, stream = _flush_chain_stream(64)
+    ix = build_index(stream[2:-4], len(pay), 256)
+    assert ix is not None
+    blob = ix.serialize()
+    if ix.extra_gaps:
+        assert blob[0] == 5
+    back = CheckpointIndex.parse(blob)
+    assert back.extra_gaps == ix.extra_gaps
+    assert np.array_equal(back.gap_off, ix.gap_off)
+    assert np.array_equal(back.gap_len, ix.gap_len)
+
+
+@pytest.mark.skipif(not native.available(), reason="native engine required")
+def test_multi_gap_native_defers_to_host():
+    """The native walker returns the host-retry code on multi-gap chains
+    and build_index transparently serves the v5 host index."""
+    pay, stream = _flush_chain_stream(64)
+    body = stream[2:-4]
+    r = native.build_index(body, len(pay), 256)
+    hx = _build_index_host(body, len(pay), 256)
+    if hx is not None and hx.extra_gaps:
+        assert r == "host-retry"
+        assert build_index(body, len(pay), 256) is not None

@@ -156,3 +156,51 @@ def test_decode_indexed_pngsuite_sample():
         assert np.array_equal(got[0], want), name
         assert np.array_equal(got[1], want), name
     assert served >= 14, f"only {served} corpus files took the fast path"
+
+
+def test_index_closure_pngsuite_and_zlib_levels():
+    """Fast-path CLOSURE (round-5): every valid PngSuite IDAT and every
+    stdlib-zlib level 1-9 stream of representative content indexes —
+    the reference's one engine serves any block structure
+    (``…InflatorBuffers.Stream.swift:59-141``); this pins how far the
+    indexed fast path reaches (the general engines serve the rest)."""
+    import glob
+    import os
+    import zlib
+
+    import conftest
+    from swift_png_tpu.lz77.index import build_index
+    from swift_png_tpu.png import chunk as chunks
+    from swift_png_tpu.png.chunk import ByteSource
+
+    base = os.path.join(conftest.REFERENCE,
+                        "Sources/PNGIntegrationTests/Inputs/Common")
+    if not os.path.isdir(base):
+        pytest.skip("reference corpus unavailable")
+    missed = []
+    n_ok = 0
+    for p in sorted(glob.glob(f"{base}/*.png")):
+        src = ByteSource(open(p, "rb").read())
+        src.signature()
+        idat = bytearray()
+        t = None
+        while t != chunks.IEND:
+            t, pay = src.chunk()
+            if t == chunks.IDAT:
+                idat += pay
+        out = zlib.decompress(bytes(idat))
+        if build_index(bytes(idat)[2:-4], len(out), 256) is None:
+            missed.append(os.path.basename(p))
+        else:
+            n_ok += 1
+    assert not missed, f"unindexed PngSuite IDATs: {missed}"
+    assert n_ok >= 160
+
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 255, 1 << 18).astype(np.uint8).tobytes()
+    smooth = bytes(np.tile(np.arange(256, dtype=np.uint8), 1024))
+    for lvl in range(1, 10):
+        for name, payload in (("noisy", noisy), ("smooth", smooth)):
+            s = zlib.compress(payload, lvl)
+            ix = build_index(s[2:-4], len(payload), 256)
+            assert ix is not None, f"zlib -{lvl} {name} missed the index"

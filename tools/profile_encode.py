@@ -70,7 +70,7 @@ def main():
 
     def relayout():
         # raw layout since round 5 — the DP kernel transposes in VMEM
-        return jnp.asarray(buf.reshape(Tc, 128, NB)).astype(jnp.int32)
+        return jnp.asarray(buf.reshape(Tc, 128, NB))
 
     data2 = t("data stage (raw)", relayout)
     clen = np.zeros((Tc, 8, 128), np.int32)

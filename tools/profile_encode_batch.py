@@ -92,13 +92,12 @@ def main():
     Tc = B * TPI
 
     def relayout():
-        cand = jnp.transpose(cand_flat.reshape(DO.KCAND, Tc, 128, DO.NB),
-                             (1, 0, 3, 2))
-        data2 = jnp.transpose(
-            dbuf[:Ntot].reshape(Tc, 128, DO.NB), (0, 2, 1)).astype(jnp.int32)
+        # raw layout since round 5 — the DP kernel transposes in VMEM
+        cand = cand_flat.reshape(DO.KCAND, Tc, 128, DO.NB)
+        data2 = dbuf[:Ntot].reshape(Tc, 128, DO.NB)
         return cand, data2
 
-    cand, data2 = t("cand+data relayout", relayout)
+    cand, data2 = t("cand+data stage (raw)", relayout)
 
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):
