@@ -228,7 +228,10 @@ def menu_candidates(data: jnp.ndarray, n: jnp.ndarray, *, menu: tuple,
 # candidate generation, Pallas production path
 # ---------------------------------------------------------------------------
 
-CR2 = 512          # positions per lane chunk (chunk-per-lane layout)
+CR2 = 1024         # positions per lane chunk — EQUAL to the DP kernel's
+                   # NB, so the candidate kernel's output tiles ARE the
+                   # DP's (Tc, K, NB, 128) input blocks (round 5: the
+                   # (2, Ntot) flatten + re-tile cost two relayouts)
 CW = CR2 + 512     # eq rows per lane incl. forward halo (doubling reach 511)
 DMAX_STEP = 8      # menu slots are padded to a multiple of this
 
@@ -313,7 +316,9 @@ def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
       data: ``(Ntot,)`` uint8, ``Ntot`` a multiple of ``CR2·128``.
       n: scalar int32 — live byte count.
 
-    Returns ``(2, Ntot)`` int32 top-2 candidates in position order.
+    Returns ``(T, 2, CR2, 128)`` int32 top-2 candidates in the DP
+    kernel's chunk-per-lane tile layout (``CR2 == NB``, so tiles line
+    up 1:1 — no relayout anywhere between the two kernels).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -357,7 +362,7 @@ def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
         out_shape=jax.ShapeDtypeStruct((T, 2, CR2, 128), jnp.int32),
         interpret=interpret,
     )(dmeta, blk)
-    return jnp.transpose(out, (1, 0, 3, 2)).reshape(2, Ntot)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("dmax", "stride", "interpret"))
@@ -422,7 +427,7 @@ def menu_candidates_pallas_batch(dists2, decades2, data, nvec, *,
         out_shape=jax.ShapeDtypeStruct((T, 2, CR2, 128), jnp.int32),
         interpret=interpret,
     )(dmeta, blk)
-    return jnp.transpose(out, (1, 0, 3, 2)).reshape(2, Ntot)
+    return out
 
 
 def stage_buf(data: bytes, Tc: int) -> jnp.ndarray:
@@ -440,9 +445,9 @@ def stage_buf(data: bytes, Tc: int) -> jnp.ndarray:
 def candidates_device(data: bytes, menu: tuple, Tc: int,
                       interpret: bool,
                       dbuf: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Top-2 candidates in the DP kernel's RAW layout:
-    ``(2, Tc, 128, NB)`` (a pure reshape — the kernel transposes to
-    chunk-per-lane in VMEM).
+    """Top-2 candidates in the DP kernel's tile layout
+    ``(Tc, 2, NB, 128)`` — the candidate kernel emits it natively
+    (``CR2 == NB``), so nothing is relaid out between the two kernels.
 
     Uses the Pallas kernel on TPU and the XLA formulation elsewhere
     (``interpret`` mirrors :func:`deflate_device_optimal`'s backend
@@ -457,16 +462,15 @@ def candidates_device(data: bytes, menu: tuple, Tc: int,
         runs, dists = menu_candidates(dbuf[:Npad], jnp.int32(n),
                                       menu=menu, k=KCAND)
         cand = (dists << 9) | runs
-        return cand.reshape(KCAND, Tc, 128, NB)
+        return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB),
+                             (1, 0, 3, 2))
     dmax = -(-max(len(menu), 1) // DMAX_STEP) * DMAX_STEP
     dv = np.zeros(dmax, np.int32)
     cv = np.zeros(dmax, np.int32)
     dv[:len(menu)] = list(menu)
     cv[:len(menu)] = [int(C.DISTANCE_DECADE[d]) for d in menu]
-    cand = menu_candidates_pallas(
+    return menu_candidates_pallas(
         jnp.asarray(dv), jnp.asarray(cv), dbuf, jnp.int32(n), dmax=dmax)
-    cand = cand[:, :Npad]
-    return cand.reshape(KCAND, Tc, 128, NB)
 
 
 # ---------------------------------------------------------------------------
@@ -551,7 +555,7 @@ def _make_dp_kernel(k: int):
     def kernel(data_ref, clen_ref, cand_ref, dep_lit_ref, runcost_ref,
                ddep_ref, rdinfo_ref, dbase_ref, terms_ref, valid_ref,
                hist_ref, cost_scr, plen_scr, pdist_scr, litc_scr,
-               data_scr, cand_scr):
+               data_scr):
         iota256 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
         iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (NB + 264, 128), 0)
@@ -563,7 +567,6 @@ def _make_dp_kernel(k: int):
         # u8→i32 astype (u8 (32,128) tiling → i32 (8,128) is itself a
         # relayout) — the bytes upcast in VMEM instead
         data_scr[...] = jnp.swapaxes(data_ref[0].astype(jnp.int32), 0, 1)
-        cand_scr[...] = jnp.swapaxes(cand_ref[:, 0], 1, 2)
         cost_scr[...] = jnp.where(rows == 0, 0, INF)
         plen_scr[...] = jnp.zeros((NB + 264, 128), jnp.int32)
         pdist_scr[...] = jnp.ones((NB + 264, 128), jnp.int32)
@@ -601,7 +604,7 @@ def _make_dp_kernel(k: int):
             pdist_scr[pl.ds(i + 1, 1)] = jnp.where(
                 bet, 0, pdist_scr[pl.ds(i + 1, 1)])
             for kk in range(k):
-                candrow = cand_scr[kk, pl.ds(i, 1)]      # (1, 128)
+                candrow = cand_ref[0, kk, pl.ds(i, 1)]   # (1, 128)
                 distk = candrow >> 9
                 runk = candrow & 0x1FF
                 dd = decade_of(distk)
@@ -685,8 +688,8 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
         (chunk ``c`` of tile ``t`` on sublane row ``c``; the kernel
         upcasts and transposes to chunk-per-lane on VMEM vregs).
       clen: ``(Tc, 8, 128)`` int32 — live bytes per chunk (row 0).
-      cand: ``(k, Tc, 128, NB)`` int32 — packed ``dist<<9 | run``, raw
-        stream layout (a pure reshape of the candidate kernel output).
+      cand: ``(Tc, k, NB, 128)`` int32 — packed ``dist<<9 | run`` in
+        chunk-per-lane tiles (the candidate kernel's native output).
       dep_lit/runcost/ddep/rdinfo/dbase: cost tables replicated to 128
         lanes: ``(256,128)/(256,128)/(32,128)/(256,128)/(32,128)``.
 
@@ -714,7 +717,7 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1, 128, NB), lambda t: (0, t, 0, 0),
+            pl.BlockSpec((1, k, NB, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 128), img, memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 128), img, memory_space=pltpu.VMEM),
@@ -743,7 +746,6 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
             pltpu.VMEM((NB + 264, 128), jnp.int32),
             pltpu.VMEM((NB, 128), jnp.int32),
             pltpu.VMEM((NB, 128), jnp.int32),
-            pltpu.VMEM((k, NB, 128), jnp.int32),
         ],
         interpret=interpret,
     )(data2, clen, cand, dep_lit, runcost, ddep, rdinfo, dbase)
@@ -1137,17 +1139,18 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
                                           k=KCAND)
             cands.append((dists << 9) | runs)
         cand_flat = jnp.concatenate(cands, axis=1)     # (K, Ntot)
+        cand = jnp.transpose(
+            cand_flat.reshape(KCAND, B * TPI, 128, NB), (1, 0, 3, 2))
     else:
         dv = np.zeros((B, dmax), np.int32)
         cv = np.zeros((B, dmax), np.int32)
         for i, m in enumerate(menus):
             dv[i, :len(m)] = list(m)
             cv[i, :len(m)] = [int(C.DISTANCE_DECADE[d]) for d in m]
-        cand_flat = menu_candidates_pallas_batch(
+        cand = menu_candidates_pallas_batch(
             jnp.asarray(dv), jnp.asarray(cv), dbuf, nvec,
             dmax=dmax, stride=stride)
     Tc = B * TPI
-    cand = cand_flat.reshape(KCAND, Tc, 128, NB)
     data2 = dbuf[:Ntot].reshape(Tc, 128, NB)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):

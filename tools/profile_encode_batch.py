@@ -86,18 +86,16 @@ def main():
         cv[i, :len(m)] = [int(C.DISTANCE_DECADE[d]) for d in m]
     dvj, cvj = jnp.asarray(dv), jnp.asarray(cv)
 
-    cand_flat = t("candidates kernel", lambda: DO.menu_candidates_pallas_batch(
+    cand = t("candidates kernel", lambda: DO.menu_candidates_pallas_batch(
         dvj, cvj, dbuf, nvec, dmax=dmax, stride=stride))
 
     Tc = B * TPI
 
     def relayout():
-        # raw layout since round 5 — the DP kernel transposes in VMEM
-        cand = cand_flat.reshape(DO.KCAND, Tc, 128, DO.NB)
-        data2 = dbuf[:Ntot].reshape(Tc, 128, DO.NB)
-        return cand, data2
+        # tile-native cand since round 5; only the data bytes retile
+        return dbuf[:Ntot].reshape(Tc, 128, DO.NB)
 
-    cand, data2 = t("cand+data stage (raw)", relayout)
+    data2 = t("data stage (u8 retile)", relayout)
 
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):
