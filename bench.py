@@ -419,6 +419,42 @@ def main() -> None:
         print(f"foreign bench skipped: {e!r}", file=_sys.stderr)
         _tb.print_exc()
 
+    # ---- foreign PNG decode END-TO-END (inflate + defilter + convolve).
+    # The tunnel moves ~25 MB/s each way (measured round 5), so host-
+    # inflated bytes can never reach the chip at speed — when the
+    # heterogeneous dispatch picks the host tier for inflate, defilter
+    # and convolve run on the native host tier too (threaded); rgba8
+    # convolve is an identity relayout.  On PCIe-attached production
+    # hosts the same dispatch would overlap host inflate with device
+    # defilter/convolve batches instead.
+    foreign_png_gbps = None
+    try:
+        if tpu_unavailable or not native.available():
+            raise RuntimeError("foreign png e2e needs native + chip run")
+        import zlib as _zf2
+
+        fstreams2 = [_zf2.compress(d, 9) for d in datas]
+
+        def foreign_png_once():
+            raws = native.inflate_batch(fstreams2, out_size, "zlib")
+            rows = np.frombuffer(b"".join(raws), np.uint8).reshape(
+                B, H, pitch1).copy()
+            pix = native.defilter_batch(rows, 4)
+            return pix.reshape(B, H, W, 4)
+
+        pixf = foreign_png_once()
+        assert np.array_equal(pixf[0], px0[0]), "foreign e2e mismatch"
+        tf2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _p = foreign_png_once()
+            tf2 = min(tf2, time.perf_counter() - t0)
+        foreign_png_gbps = round(B * out_size / tf2 / 1e9, 4)
+    except Exception as e:
+        import sys as _sys
+
+        print(f"foreign png e2e skipped: {e!r}", file=_sys.stderr)
+
     nbytes = B * out_size
     gbps = P * nbytes / t_pipe / 1e9
     result = {
@@ -444,6 +480,8 @@ def main() -> None:
     if foreign_gbps is not None:
         result["decode_foreign_gbps"] = foreign_gbps
         result["decode_foreign_tier"] = foreign_tier
+    if foreign_png_gbps is not None:
+        result["decode_foreign_png_gbps"] = foreign_png_gbps
     if size9 is not None and t9 < float("inf"):
         result["deflate_l9_mbps"] = round(
             sum(len(d) for d in enc_datas) / t9 / 1e6, 2)

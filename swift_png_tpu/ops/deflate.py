@@ -131,11 +131,12 @@ def pack_bits(lanes: jnp.ndarray, nbits: jnp.ndarray, valid: jnp.ndarray):
     # one scatter per SPANNED atom, not per (lane, half): atom a0+k takes
     # lane k's low part OR'd with lane k-1's spill — a term spans at most
     # ceil((15+48)/16) = 4 atoms.  Dead (lane, term) events route OUT OF
-    # BOUNDS and are dropped by the scatter: a dropped event costs ~1 ns
-    # on this chip vs ~22 ns for a landed one (a real sink index paid
-    # full price), and most terms span only 1–2 atoms, so the event count
-    # falls from 4n to ~sum(ceil((sub+nbits)/16)) ≈ 1.1n on
-    # literal-dominated streams
+    # BOUNDS and are dropped — NOTE (round-4 re-measurement, PERF_NOTES):
+    # dropped indices cost FULL price on this chip (~6.5-10 ns/index,
+    # same as landed ones), so the win of this form over a (4, n) grid
+    # is the smaller index COUNT (k · n for k spans), not event liveness.
+    # This 16-bit packer is the validated reference; production routes
+    # through pack_bits32 (32-bit atoms, half the indices).
     for k in range(4):
         lo = (lanes[k] << sub) & 0xFFFF
         spill = (jnp.where(sub == 0, 0, lanes[k - 1] >> (16 - sub))

@@ -232,7 +232,10 @@ CR2 = 1024         # positions per lane chunk — EQUAL to the DP kernel's
                    # NB, so the candidate kernel's output tiles ARE the
                    # DP's (Tc, K, NB, 128) input blocks (round 5: the
                    # (2, Ntot) flatten + re-tile cost two relayouts)
-CW = CR2 + 512     # eq rows per lane incl. forward halo (doubling reach 511)
+CW = CR2 + 504     # eq rows per lane incl. forward halo — the doubling
+                   # cone from the last core row reaches exactly 504
+                   # positions (Σ 2^3…2^8), and CR2=1024 sits 4 KB from
+                   # the 16 MB scoped-VMEM limit, so the halo is exact
 DMAX_STEP = 8      # menu slots are padded to a multiple of this
 
 
@@ -342,12 +345,15 @@ def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
         nxt = jnp.concatenate(
             [eq[:, step:], jnp.zeros((dmax, step), jnp.int8)], axis=1)
         eq = eq + jnp.where(eq == step, nxt, 0)        # r3 = min(run, 8)
-    base = eq.reshape(dmax, T, 128, CR2)
+    # raw bytes ride as an extra row — see menu_candidates_pallas_batch
+    eq = jnp.concatenate(
+        [eq, jax.lax.bitcast_convert_type(data, jnp.int8)[None]], axis=0)
+    base = eq.reshape(dmax + 1, T, 128, CR2)
     halo = jnp.concatenate(
-        [eq[:, CR2:], jnp.zeros((dmax, CR2), jnp.int8)],
-        axis=1).reshape(dmax, T, 128, CR2)[..., :CW - CR2]
+        [eq[:, CR2:], jnp.zeros((dmax + 1, CR2), jnp.int8)],
+        axis=1).reshape(dmax + 1, T, 128, CR2)[..., :CW - CR2]
     blk = jnp.transpose(jnp.concatenate([base, halo], axis=3),
-                        (1, 0, 3, 2))                  # (T, dmax, CW, 128)
+                        (1, 0, 3, 2))              # (T, dmax+1, CW, 128)
     dmeta = jnp.stack([dists, decades], axis=1)        # (dmax, 2)
     out = pl.pallas_call(
         _make_cand_kernel(dmax),
@@ -362,7 +368,7 @@ def menu_candidates_pallas(dists, decades, data, n, *, dmax: int,
         out_shape=jax.ShapeDtypeStruct((T, 2, CR2, 128), jnp.int32),
         interpret=interpret,
     )(dmeta, blk)
-    return out
+    return out, blk
 
 
 @functools.partial(jax.jit, static_argnames=("dmax", "stride", "interpret"))
@@ -406,12 +412,18 @@ def menu_candidates_pallas_batch(dists2, decades2, data, nvec, *,
         nxt = jnp.concatenate(
             [eq[:, step:], jnp.zeros((dmax, step), jnp.int8)], axis=1)
         eq = eq + jnp.where(eq == step, nxt, 0)        # r3 = min(run, 8)
-    base = eq.reshape(dmax, T, 128, CR2)
+    # the raw bytes ride along as one extra row: the SAME (128, CW) →
+    # (CW, 128) relayout that tiles the eq masks also delivers the DP
+    # kernel's chunk-per-lane byte layout — a separate u8 retile of the
+    # data measured 35 ms/batch
+    eq = jnp.concatenate(
+        [eq, jax.lax.bitcast_convert_type(data, jnp.int8)[None]], axis=0)
+    base = eq.reshape(dmax + 1, T, 128, CR2)
     halo = jnp.concatenate(
-        [eq[:, CR2:], jnp.zeros((dmax, CR2), jnp.int8)],
-        axis=1).reshape(dmax, T, 128, CR2)[..., :CW - CR2]
+        [eq[:, CR2:], jnp.zeros((dmax + 1, CR2), jnp.int8)],
+        axis=1).reshape(dmax + 1, T, 128, CR2)[..., :CW - CR2]
     blk = jnp.transpose(jnp.concatenate([base, halo], axis=3),
-                        (1, 0, 3, 2))                  # (T, dmax, CW, 128)
+                        (1, 0, 3, 2))              # (T, dmax+1, CW, 128)
     dmeta = jnp.stack([dists2, decades2], axis=2)      # (B, dmax, 2)
     out = pl.pallas_call(
         _make_cand_kernel(dmax, per_image=True),
@@ -427,7 +439,7 @@ def menu_candidates_pallas_batch(dists2, decades2, data, nvec, *,
         out_shape=jax.ShapeDtypeStruct((T, 2, CR2, 128), jnp.int32),
         interpret=interpret,
     )(dmeta, blk)
-    return out
+    return out, blk
 
 
 def stage_buf(data: bytes, Tc: int) -> jnp.ndarray:
@@ -445,9 +457,10 @@ def stage_buf(data: bytes, Tc: int) -> jnp.ndarray:
 def candidates_device(data: bytes, menu: tuple, Tc: int,
                       interpret: bool,
                       dbuf: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Top-2 candidates in the DP kernel's tile layout
-    ``(Tc, 2, NB, 128)`` — the candidate kernel emits it natively
-    (``CR2 == NB``), so nothing is relaid out between the two kernels.
+    """Top-2 candidates AND the input bytes in the DP kernel's tile
+    layout: ``(cand (Tc, 2, NB, 128) int32, data (Tc, NB, 128) int8)``
+    — the candidate kernel emits both natively (``CR2 == NB``, the data
+    rides its blk input), so nothing is relaid out between the kernels.
 
     Uses the Pallas kernel on TPU and the XLA formulation elsewhere
     (``interpret`` mirrors :func:`deflate_device_optimal`'s backend
@@ -462,15 +475,20 @@ def candidates_device(data: bytes, menu: tuple, Tc: int,
         runs, dists = menu_candidates(dbuf[:Npad], jnp.int32(n),
                                       menu=menu, k=KCAND)
         cand = (dists << 9) | runs
-        return jnp.transpose(cand.reshape(KCAND, Tc, 128, NB),
-                             (1, 0, 3, 2))
+        cand_t = jnp.transpose(cand.reshape(KCAND, Tc, 128, NB),
+                               (1, 0, 3, 2))
+        data_t = jnp.transpose(
+            jax.lax.bitcast_convert_type(dbuf[:Npad], jnp.int8)
+            .reshape(Tc, 128, NB), (0, 2, 1))
+        return cand_t, data_t
     dmax = -(-max(len(menu), 1) // DMAX_STEP) * DMAX_STEP
     dv = np.zeros(dmax, np.int32)
     cv = np.zeros(dmax, np.int32)
     dv[:len(menu)] = list(menu)
     cv[:len(menu)] = [int(C.DISTANCE_DECADE[d]) for d in menu]
-    return menu_candidates_pallas(
+    cand, blk = menu_candidates_pallas(
         jnp.asarray(dv), jnp.asarray(cv), dbuf, jnp.int32(n), dmax=dmax)
+    return cand, blk[:, dmax, :NB]
 
 
 # ---------------------------------------------------------------------------
@@ -560,13 +578,11 @@ def _make_dp_kernel(k: int):
         iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (NB + 264, 128), 0)
         clen = clen_ref[0, 0][None, :]          # (1, 128) live bytes
-        # inputs arrive in RAW stream layout ((128 chunks, NB) rows) and
-        # are transposed to chunk-per-lane HERE, on VMEM-resident vregs —
-        # the round-4 XLA-side transposes were relayout-priced
-        # (~31 ms/batch for cand+data at B=8), and so was an XLA-side
-        # u8→i32 astype (u8 (32,128) tiling → i32 (8,128) is itself a
-        # relayout) — the bytes upcast in VMEM instead
-        data_scr[...] = jnp.swapaxes(data_ref[0].astype(jnp.int32), 0, 1)
+        # the bytes arrive chunk-per-lane already (they ride the
+        # candidate kernel's blk relayout as an extra row — a separate
+        # XLA-side retile measured 35 ms/batch); int8 → masked int32
+        # upcast happens on VMEM vregs
+        data_scr[...] = data_ref[0].astype(jnp.int32) & 0xFF
         cost_scr[...] = jnp.where(rows == 0, 0, INF)
         plen_scr[...] = jnp.zeros((NB + 264, 128), jnp.int32)
         pdist_scr[...] = jnp.ones((NB + 264, 128), jnp.int32)
@@ -684,9 +700,9 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
     """Run the DP kernel over all chunk tiles.
 
     Args:
-      data2: ``(Tc, 128, NB)`` uint8 — chunk bytes in RAW stream layout
-        (chunk ``c`` of tile ``t`` on sublane row ``c``; the kernel
-        upcasts and transposes to chunk-per-lane on VMEM vregs).
+      data2: ``(Tc, NB, 128)`` int8 — chunk bytes, chunk-per-lane
+        (the candidate kernel's blk data row; the kernel upcasts with a
+        0xFF mask on VMEM vregs).
       clen: ``(Tc, 8, 128)`` int32 — live bytes per chunk (row 0).
       cand: ``(Tc, k, NB, 128)`` int32 — packed ``dist<<9 | run`` in
         chunk-per-lane tiles (the candidate kernel's native output).
@@ -713,7 +729,7 @@ def optimal_parse_device(data2, clen, cand, dep_lit, runcost, ddep, rdinfo,
         kernel,
         grid=(Tc,),
         in_specs=[
-            pl.BlockSpec((1, 128, NB), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, NB, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -814,8 +830,7 @@ def optimal_pipeline(data: bytes, level: int = 9, pitch: int = 0,
     # one host→device staging serves the candidate kernel and the DP
     # relayout (the tunnel transfer dwarfs the on-device transposes)
     dbuf = stage_buf(data, Tc)
-    cand = candidates_device(data, menu, Tc, interpret, dbuf=dbuf)
-    data2 = dbuf[:Npad].reshape(Tc, 128, NB)
+    cand, data2 = candidates_device(data, menu, Tc, interpret, dbuf=dbuf)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for c in range(chunks):
         clen[c // 128, 0, c % 128] = min(NB, n - c * NB)
@@ -1141,17 +1156,20 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
         cand_flat = jnp.concatenate(cands, axis=1)     # (K, Ntot)
         cand = jnp.transpose(
             cand_flat.reshape(KCAND, B * TPI, 128, NB), (1, 0, 3, 2))
+        data2 = jnp.transpose(
+            jax.lax.bitcast_convert_type(dbuf[:Ntot], jnp.int8)
+            .reshape(B * TPI, 128, NB), (0, 2, 1))
     else:
         dv = np.zeros((B, dmax), np.int32)
         cv = np.zeros((B, dmax), np.int32)
         for i, m in enumerate(menus):
             dv[i, :len(m)] = list(m)
             cv[i, :len(m)] = [int(C.DISTANCE_DECADE[d]) for d in m]
-        cand = menu_candidates_pallas_batch(
+        cand, cblk = menu_candidates_pallas_batch(
             jnp.asarray(dv), jnp.asarray(cv), dbuf, nvec,
             dmax=dmax, stride=stride)
+        data2 = cblk[:, dmax, :NB]
     Tc = B * TPI
-    data2 = dbuf[:Ntot].reshape(Tc, 128, NB)
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):
         for c in range(-(-len(d) // NB)):

@@ -100,9 +100,13 @@ def test_candidates_pallas_matches_xla(kind):
     cv = np.zeros(dmax, np.int32)
     dv[:len(menu)] = menu
     cv[:len(menu)] = [int(C.DISTANCE_DECADE[d]) for d in menu]
-    out = menu_candidates_pallas(
+    out, blk = menu_candidates_pallas(
         jnp.asarray(dv), jnp.asarray(cv), jnp.asarray(buf), jnp.int32(n),
         dmax=dmax, interpret=True)
+    # the blk data row must be the bytes in chunk-per-lane order
+    datarow = np.asarray(blk)[:, dmax, :CR2].astype(np.uint8)
+    want = buf.reshape(-1, 128, CR2).transpose(0, 2, 1)
+    assert (datarow == want).all()
     # tile-native output (T, 2, CR2, 128) → position order for comparison
     got = np.asarray(jnp.transpose(out, (1, 0, 3, 2)).reshape(2, Ntot))
     assert (got == ref).all()

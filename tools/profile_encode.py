@@ -65,14 +65,8 @@ def main():
     print(f"{'menu build (host)':28s} {(time.perf_counter()-t0)*1e3:8.1f} ms",
           flush=True)
 
-    cand = t("candidates_device", lambda: candidates_device(
-        data, menu, Tc, False))
-
-    def relayout():
-        # raw layout since round 5 — the DP kernel transposes in VMEM
-        return jnp.asarray(buf.reshape(Tc, 128, NB))
-
-    data2 = t("data stage (raw)", relayout)
+    cand, data2 = t("candidates_device (+data row)",
+                    lambda: candidates_device(data, menu, Tc, False))
     clen = np.zeros((Tc, 8, 128), np.int32)
     for c in range(chunks):
         clen[c // 128, 0, c % 128] = min(NB, n - c * NB)

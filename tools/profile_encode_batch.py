@@ -86,16 +86,11 @@ def main():
         cv[i, :len(m)] = [int(C.DISTANCE_DECADE[d]) for d in m]
     dvj, cvj = jnp.asarray(dv), jnp.asarray(cv)
 
-    cand = t("candidates kernel", lambda: DO.menu_candidates_pallas_batch(
+    cand, cblk = t("candidates kernel", lambda: DO.menu_candidates_pallas_batch(
         dvj, cvj, dbuf, nvec, dmax=dmax, stride=stride))
 
     Tc = B * TPI
-
-    def relayout():
-        # tile-native cand since round 5; only the data bytes retile
-        return dbuf[:Ntot].reshape(Tc, 128, DO.NB)
-
-    data2 = t("data stage (u8 retile)", relayout)
+    data2 = t("data slice (blk row)", lambda: cblk[:, dmax, :DO.NB])
 
     clen = np.zeros((Tc, 8, 128), np.int32)
     for i, d in enumerate(datas):
