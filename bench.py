@@ -368,17 +368,19 @@ def main() -> None:
         for i in range(B):
             assert int(_ad[i]) == _zf.adler32(datas[i])
         plan = eng.last_plan
-        if plan.get("tier") == "host":
+        if plan.get("tier") in ("host", "mixed"):
             # heterogeneous dispatch chose the multithreaded native
-            # tier (near-uniform match distances — see
-            # _probe_match_profile); time the served path as-is
+            # tier for all (or part) of the batch (near-uniform match
+            # distances — see _probe_match_profile); time the served
+            # path as-is
             tfh = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 _o2, _a2 = eng.run(fbodies, fixs, keep_on_device=False)
                 tfh = min(tfh, time.perf_counter() - t0)
             foreign_gbps = round(B * out_size / tfh / 1e9, 4)
-            foreign_tier = "native-host"
+            foreign_tier = ("native-host" if plan["tier"] == "host"
+                            else "mixed")
             raise StopIteration  # skip the device timing below
         foreign_tier = "device"
         fprep = eng.prepare(fbodies, fixs)

@@ -1513,9 +1513,14 @@ class CheckpointInflator:
             sample = sorted({0, B0 // 3, (2 * B0) // 3, B0 - 1})
             dec = {i: _decide(bodies[i]) for i in sample}
             if len(set(dec.values())) > 1:
+                # sampled classes disagree: probe every stream
                 for i in range(B0):
                     if i not in dec:
                         dec[i] = _decide(bodies[i])
+            else:
+                # homogeneous sample: the whole batch takes its class
+                common = dec[sample[0]]
+                dec = {i: common for i in range(B0)}
             hostset = [i for i in range(B0) if dec.get(i) == "host"]
             if 0 < len(hostset) < B0:
                 # mixed batch: host tier serves its streams on native
