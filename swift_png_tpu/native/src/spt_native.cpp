@@ -167,6 +167,92 @@ static int build_table(const uint8_t* lengths, int nsym, int max_len,
     return width;
 }
 
+// two-level decode LUT: 10-bit root + per-prefix subtables.  The flat
+// table above sizes 2^width (up to 128 KB at width 15) and is rebuilt
+// per block — multi-block foreign streams (zlib -9 emits ~40 blocks per
+// image) paid the build writes AND the cache misses on every lookup.
+// Root entries: (len << 16) | sym for codes of length <= 10 (replicated);
+// longer prefixes store 0x80000000 | (subw << 24) | sub_base, and the
+// subtable entry at bits [10, 10+subw) holds the full (len << 16) | sym.
+static int build_table2(const uint8_t* lengths, int nsym,
+                        std::vector<uint32_t>& root,
+                        std::vector<uint32_t>& sub) {
+    const int RB = 10;
+    int counts[16] = {0};
+    int used = 0, one_sym = -1, width = 1;
+    for (int s = 0; s < nsym; s++)
+        if (lengths[s]) {
+            counts[lengths[s]]++;
+            used++;
+            one_sym = s;
+            if (lengths[s] > width) width = lengths[s];
+        }
+    if (width > 15) return -1;
+    root.assign(size_t(1) << RB, 0);
+    sub.clear();
+    if (used == 0) return width;
+    if (used == 1) {  // 1-bit stub (HuffmanTree.swift:112-174 semantics)
+        for (size_t i = 0; i < root.size(); i += 2)
+            root[i] = (1u << 16) | one_sym;
+        return width;
+    }
+    long kraft = 0;
+    for (int l = 1; l <= width; l++) kraft += (long)counts[l] << (width - l);
+    if (kraft != (1L << width)) return -1;
+    int next_code[16], code = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code + counts[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    // pass 1: per-root-prefix subtable widths for codes longer than RB
+    uint8_t subw[1 << RB];
+    memset(subw, 0, sizeof subw);
+    if (width > RB) {
+        int nc[16];
+        memcpy(nc, next_code, sizeof nc);
+        for (int s = 0; s < nsym; s++) {
+            int l = lengths[s];
+            if (!l) continue;
+            int c = nc[l]++;
+            if (l <= RB) continue;
+            uint32_t rev = 0;
+            for (int b = 0; b < l; b++) rev |= ((c >> b) & 1) << (l - 1 - b);
+            uint32_t pfx = rev & ((1u << RB) - 1);
+            if (l - RB > subw[pfx]) subw[pfx] = (uint8_t)(l - RB);
+        }
+        size_t base = 0;
+        for (uint32_t p = 0; p < (1u << RB); p++)
+            if (subw[p]) {
+                root[p] = 0x80000000u | ((uint32_t)subw[p] << 24)
+                          | (uint32_t)base;
+                base += size_t(1) << subw[p];
+            }
+        sub.assign(base, 0);
+    }
+    // pass 2: fill
+    for (int s = 0; s < nsym; s++) {
+        int l = lengths[s];
+        if (!l) continue;
+        int c = next_code[l]++;
+        uint32_t rev = 0;
+        for (int b = 0; b < l; b++) rev |= ((c >> b) & 1) << (l - 1 - b);
+        if (l <= RB) {
+            for (size_t i = rev; i < root.size(); i += size_t(1) << l)
+                root[i] = ((uint32_t)l << 16) | s;
+        } else {
+            uint32_t pfx = rev & ((1u << RB) - 1);
+            uint32_t hi = rev >> RB;          // l - RB bits
+            uint32_t e = root[pfx];
+            uint32_t sb = e & 0xFFFFFF;
+            int sw = (e >> 24) & 15;
+            for (size_t i = hi; i < (size_t(1) << sw);
+                 i += size_t(1) << (l - RB))
+                sub[sb + i] = ((uint32_t)l << 16) | s;
+        }
+    }
+    return width;
+}
+
 // error codes
 enum {
     SPT_OK = 0, SPT_E_BLOCKTYPE = -1, SPT_E_PARITY = -2, SPT_E_TABLE = -3,
@@ -181,7 +267,7 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                           size_t dstcap, size_t* consumed) {
     BitReader br{src, srclen};
     size_t out = 0;
-    std::vector<uint32_t> lit_table, dist_table;
+    std::vector<uint32_t> lit_root, lit_sub, dist_root, dist_sub;
     uint8_t lens[320];
     for (;;) {
         uint32_t final_ = br.read(1);
@@ -204,8 +290,9 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
         } else {
             int lit_max = 15, dist_max = 15;
             if (btype == 1) {
-                static std::vector<uint32_t> flit, fdist;
-                if (flit.empty()) {
+                static std::vector<uint32_t> flit_r, flit_s, fdist_r,
+                    fdist_s;
+                if (flit_r.empty()) {
                     uint8_t ll[288], dl[32];
                     for (int i = 0; i < 144; i++) ll[i] = 8;
                     for (int i = 144; i < 256; i++) ll[i] = 9;
@@ -214,10 +301,11 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                     // all 32 five-bit codes exist; symbols 30/31 are
                     // rejected at decode time (RFC 1951 §3.2.6)
                     for (int i = 0; i < 32; i++) dl[i] = 5;
-                    build_table(ll, 288, 9, flit);
-                    build_table(dl, 32, 5, fdist);
+                    build_table2(ll, 288, flit_r, flit_s);
+                    build_table2(dl, 32, fdist_r, fdist_s);
                 }
-                lit_table = flit; dist_table = fdist;
+                lit_root = flit_r; lit_sub = flit_s;
+                dist_root = fdist_r; dist_sub = fdist_s;
                 lit_max = 9; dist_max = 5;
             } else {
                 uint32_t hlit = br.read(5) + 257;
@@ -261,17 +349,26 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                 bool any = false;
                 for (uint32_t s = 0; s < hlit; s++) if (lens[s]) any = true;
                 if (!any) return SPT_E_TABLE;
-                lit_max = build_table(lens, hlit, 15, lit_table);
+                lit_max = build_table2(lens, hlit, lit_root, lit_sub);
                 if (lit_max < 0) return SPT_E_TABLE;
-                dist_max = build_table(lens + hlit, hdist, 15, dist_table);
+                dist_max = build_table2(lens + hlit, hdist, dist_root,
+                                        dist_sub);
                 if (dist_max < 0) return SPT_E_TABLE;
             }
-            uint32_t lit_mask = (1u << lit_max) - 1;
-            uint32_t dist_mask = (1u << dist_max) - 1;
+            const uint32_t* LR = lit_root.data();
+            const uint32_t* LS = lit_sub.data();
+            const uint32_t* DR = dist_root.data();
+            const uint32_t* DS = dist_sub.data();
+#define SPT_LOOKUP(e_, R_, S_)                                           \
+            e_ = R_[br.peek_nf(10)];                                     \
+            if ((int32_t)e_ < 0)                                         \
+                e_ = S_[(e_ & 0xFFFFFF)                                  \
+                        + (br.peek_nf(10 + ((e_ >> 24) & 15)) >> 10)];
             for (;;) {
                 // one refill covers a whole token (≤ 48 bits < 56 available)
                 br.refill();
-                uint32_t e = lit_table[br.peek_nf(lit_max) & lit_mask];
+                uint32_t e;
+                SPT_LOOKUP(e, LR, LS)
                 int l = e >> 16;
                 if (!l) return SPT_E_TABLE;
                 int sym = e & 0xFFFF;
@@ -282,7 +379,7 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                     // literal fast path: decode more literals from the
                     // same refill while enough bits remain
                     while (br.bits >= lit_max) {
-                        e = lit_table[br.peek_nf(lit_max) & lit_mask];
+                        SPT_LOOKUP(e, LR, LS)
                         l = e >> 16;
                         sym = e & 0xFFFF;
                         if (!l || sym >= 256) break;
@@ -296,7 +393,7 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                         continue;
                     }
                     br.refill();
-                    e = lit_table[br.peek_nf(lit_max) & lit_mask];
+                    SPT_LOOKUP(e, LR, LS)
                     l = e >> 16;
                     if (!l) return SPT_E_TABLE;
                     sym = e & 0xFFFF;
@@ -314,7 +411,8 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                     if (sym > 285) return SPT_E_TABLE;
                     int d = sym - 257;
                     uint32_t run = RUN_BASE[d] + br.read_nf(RUN_EXTRA[d]);
-                    uint32_t de = dist_table[br.peek_nf(dist_max) & dist_mask];
+                    uint32_t de;
+                    SPT_LOOKUP(de, DR, DS)
                     int dl = de >> 16;
                     if (!dl) return SPT_E_DISTANCE;
                     int dsym = de & 0xFFFF;
@@ -326,17 +424,42 @@ long long spt_inflate_raw(const uint8_t* src, size_t srclen, uint8_t* dst,
                     // forward byte copy handles overlap
                     // (LZ77.InflatorOut.swift:124-139)
                     uint8_t* p = dst + out;
-                    const uint8_t* q = p - dist;
                     if (dist >= 8 && out + run + 8 <= dstcap) {
+                        const uint8_t* q = p - dist;
                         for (uint32_t k = 0; k < run; k += 8)
                             memcpy(p + k, q + k, 8);
+                    } else if (out + run + 8 <= dstcap) {
+                        // self-overlapping short distance: chunk-double
+                        // through the already-written period (each pass
+                        // copies `avail` bytes, then the valid period
+                        // doubles — an RLE run costs log2(run) passes)
+                        uint32_t k = 0, avail = dist;
+                        while (k < run) {
+                            uint32_t c = run - k < avail ? run - k : avail;
+                            // pointer form: k + t - avail is negative on
+                            // the first pass (unsigned wrap would read
+                            // 4 GB away); p + k - avail >= dst - dist
+                            uint8_t* w = p + k;
+                            const uint8_t* qq = w - avail;
+                            if (c >= 8) {
+                                for (uint32_t t = 0; t < c; t += 8)
+                                    memcpy(w + t, qq + t, 8);
+                            } else {
+                                for (uint32_t t = 0; t < c; t++)
+                                    w[t] = qq[t];
+                            }
+                            k += c;
+                            avail <<= 1;
+                        }
                     } else {
+                        const uint8_t* q = p - dist;
                         for (uint32_t k = 0; k < run; k++) p[k] = q[k];
                     }
                     out += run;
                 }
                 if (br.overrun()) return SPT_E_TRUNCATED;
             }
+#undef SPT_LOOKUP
         }
         if (final_) break;
     }
