@@ -58,16 +58,22 @@ def _filtered(pixels: np.ndarray) -> np.ndarray:
 
 
 def _accelerator_alive(timeout: float = 900.0) -> bool:
-    """Probe backend init in a subprocess: when the TPU tunnel is down,
-    ``jax.devices()`` hangs indefinitely (observed), which would hang
-    the whole bench.  The child is killed on timeout and the bench
-    falls back to CPU so the driver always gets a JSON line."""
+    """Probe backend init AND one tiny computation in a subprocess: when
+    the TPU tunnel is down, ``jax.devices()`` hangs indefinitely
+    (observed round 2), and a half-down tunnel initializes fine but
+    hangs on the first dispatched op (observed round 5).  The child is
+    killed on timeout and the bench falls back to CPU so the driver
+    always gets a JSON line."""
     import subprocess
     import sys
 
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "jax.devices();"
+             "x = jnp.arange(1 << 16);"
+             "print(int(np.asarray((x * 3).sum())) & 1)"],
             timeout=timeout, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
