@@ -592,31 +592,15 @@ def _expand_legacy(ptr, litv, expand_cap, seg_cap: int | None = None,
 
 def _fill_last(rows):
     """Forward-fill scattered rows: each row takes the nearest row at or
-    before it whose first column is ≥ 0 (the scatter mark).
+    before it whose first column is ≥ 0 (the scatter mark).  Associative
+    take-last combine — log-depth dense passes, no gathers.  (A round-5
+    radix-4 Hillis-Steele variant measured ~8 ms WORSE on the B=32
+    expansion marginal — the explicit pad+concat passes lost to
+    associative_scan's generated code — and was reverted.)"""
+    def comb(a, b):
+        return jnp.where(b[:, :1] >= 0, b, a)
 
-    Radix-4 Hillis-Steele doubling: each pass combines candidates at
-    strides {s, 2s, 3s}, so ``ceil(log4 n)`` dense passes replace
-    ``associative_scan``'s ~2·log2 n odd/even slicing passes (every
-    pass here is a pad+concat+select over the whole array — no
-    relayout-priced interleaved slicing)."""
-    n = rows.shape[0]
-
-    def shifted(r, k):
-        if k >= n:
-            return jnp.full_like(r, -1)
-        return jnp.concatenate(
-            [jnp.full((k, r.shape[1]), -1, r.dtype), r[:-k]], axis=0)
-
-    s = 1
-    while s < n:
-        a1 = shifted(rows, s)
-        a2 = shifted(rows, 2 * s)
-        a3 = shifted(rows, 3 * s)
-        rows = jnp.where(rows[:, :1] >= 0, rows,
-                         jnp.where(a1[:, :1] >= 0, a1,
-                                   jnp.where(a2[:, :1] >= 0, a2, a3)))
-        s *= 4
-    return rows
+    return jax.lax.associative_scan(comb, rows, axis=0)
 
 
 def _select_bit(lo, hi, o):
