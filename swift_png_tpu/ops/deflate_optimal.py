@@ -1057,132 +1057,6 @@ def _emit_pack_grid(terms_r, valid_r, tabs_small, *, spans: tuple,
             [totals[i] for i in range(B)])
 
 
-@functools.partial(jax.jit, static_argnames=("spans", "acap", "bcap",
-                                             "interpret"))
-def _emit_pack_grid_cs(terms_r, valid_r, tabs_small, *, spans: tuple,
-                       acap: int, bcap: int, interpret: bool = False):
-    """Cumsum-difference pack: random access scales with ATOMS, not
-    2×grid slots.
-
-    The scatter-per-term pack pays ``spans·slots`` indices (~19 ms per
-    1 MB image).  But the contributions to one output atom are
-    bit-DISJOINT (they assemble one 32-bit word), so their sum fits
-    int32 exactly, and a WRAPPING stream-order prefix sum ``S_k`` of the
-    span-``k`` piece values recovers every atom's word as a difference
-    of ``S_k`` at consecutive atom-run boundaries.  Boundaries number at
-    most live-atoms+1 per image (known EXACTLY on the host from the
-    final trees + histogram), so the only random access left is: one
-    boundary compaction (dense scan-fill machinery), one ``(1+k)``-
-    channel gather at the compacted positions, and one boundary-sized
-    scatter into the per-image atom rows — ~5.5× fewer priced indices
-    than the per-term scatter on literal-heavy content.
-
-    ``acap``: per-image atom-row width (≥ atoms+2, host-rounded);
-    ``bcap``: whole-batch boundary cap (exact bound, no retry needed).
-    """
-    from .deflate_emit import emit_terms_batch
-    from .inflate_checkpoint import _fill_last
-    from .inflate_seqcopy import _compact_mask_positions
-
-    B, TPI_, NBr, L = terms_r.shape
-    Tc = B * TPI_
-    slots = TPI_ * NBr * L
-    ns = max(spans)
-    tabs = jnp.broadcast_to(tabs_small[:, :, None],
-                            (B, tabs_small.shape[1], 128))
-    lo, hi, nb = emit_terms_batch(
-        terms_r.reshape(Tc, NBr, L), tabs,
-        jnp.full((1,), TPI_, jnp.int32), interpret=interpret)
-    vm = valid_r.reshape(Tc, NBr, L) != 0
-    nbv = jnp.where(vm, nb, 0)
-    intra_i = jnp.cumsum(nbv, axis=1)                # inclusive
-    colsum = intra_i[:, -1, :]                       # (Tc, L)
-    colsum2 = colsum.reshape(B, TPI_ * L)
-    colbase2 = jnp.cumsum(colsum2, axis=1) - colsum2
-    colbase = colbase2.reshape(Tc, 1, L)
-    offs = intra_i - nbv + colbase                   # exclusive, per image
-    totals = jnp.sum(colsum2, axis=1)
-
-    # per-span piece values (identical math to pack_bits32)
-    sub = offs & 31
-    nsub = (32 - sub) & 31
-    v = [jnp.where(vm, lo << sub, 0),
-         jnp.where(vm, jnp.where(
-             sub == 0, 0,
-             ((lo >> 1) & 0x7FFFFFFF) >> (nsub - 1)) | (hi << sub), 0)]
-    if ns >= 3:
-        v.append(jnp.where(vm, jnp.where(
-            sub == 0, 0, ((hi >> 1) & 0x7FFFFFFF) >> (nsub - 1)), 0))
-    # wrapping stream-order INCLUSIVE prefix sums (per image): intra-
-    # column inclusive cumsum + exclusive column base — same two-level
-    # trick as the offsets, no transpose anywhere
-    S = []
-    for vk in v:
-        ii = jnp.cumsum(vk, axis=1)
-        cs2 = ii[:, -1, :].reshape(B, TPI_ * L)
-        cb = (jnp.cumsum(cs2, axis=1) - cs2).reshape(Tc, 1, L)
-        S.append(ii + cb)
-
-    # atom-run boundaries: a0 of the next STREAM element differs (or
-    # end of image).  Next within a column = next sublane row; at the
-    # column end, the next column's first element (per image).
-    a0 = offs >> 5
-    nxt_in_col = jnp.concatenate(
-        [a0[:, 1:, :], jnp.zeros((Tc, 1, L), jnp.int32)], axis=1)
-    first_of_col = a0[:, 0, :].reshape(B, TPI_ * L)
-    INF = jnp.int32(0x7FFFFFFF)
-    next_col_first = jnp.concatenate(
-        [first_of_col[:, 1:], jnp.full((B, 1), INF, jnp.int32)],
-        axis=1).reshape(Tc, 1, L)
-    rows_j = jax.lax.broadcasted_iota(jnp.int32, (Tc, NBr, L), 1)
-    a0_next = jnp.where(rows_j < NBr - 1, nxt_in_col,
-                        jnp.broadcast_to(next_col_first, (Tc, NBr, L)))
-    bnd = (a0_next > a0).reshape(-1)                 # grid-flat order
-
-    # per-image compaction + gathers: gather price rises ~3× once the
-    # source table leaves the tens-of-MB range, so boundaries compact
-    # and gather against each image's OWN (slots,)-sized arrays
-    R = acap + 2
-    C = 1 + ns
-    del bcap  # bound retained in the signature for cache keying
-    bnd_g = bnd.reshape(B, slots)
-    a0_f = a0.reshape(B, slots)
-    S_f = [Sk.reshape(B, slots) for Sk in S]
-    rows_all = []
-    for i in range(B):
-        cidx, _tb, _ovf = _compact_mask_positions(bnd_g[i], acap)
-        cc = jnp.clip(cidx, 0, slots - 1)
-        live = cidx < slots
-        a0_g = a0_f[i][cc]
-        tgtC = jnp.where(live, (a0_g + 1) * C, R * C)
-        flatbuf = jnp.zeros(R * C + C, jnp.int32)
-        flatbuf = flatbuf.at[tgtC].add(jnp.where(live, 1, 0), mode="drop")
-        for k in range(ns):
-            flatbuf = flatbuf.at[tgtC + 1 + k].add(
-                jnp.where(live, S_f[k][i][cc], 0), mode="drop")
-        rows_all.append(flatbuf[:R * C])
-    rows = jnp.stack(rows_all).reshape(B * R, C)
-    # row 0 of each image is the pre-stream zero state (mark=1, S=0);
-    # unmarked rows get col0 = -1 so _fill_last forward-fills them
-    ridx = jnp.arange(B * R, dtype=jnp.int32)
-    base_row = ridx % R == 0
-    mark = jnp.where(base_row | (rows[:, 0] > 0), 1, -1)
-    rows = jnp.concatenate(
-        [mark[:, None],
-         jnp.where(base_row[:, None], 0, rows[:, 1:])], axis=1)
-    F = _fill_last(rows).reshape(B, R, C)
-    Dpad = jnp.concatenate(
-        [jnp.zeros((B, 2, C), jnp.int32), F], axis=1)    # rows a = -2, -1
-    out = None
-    for k in range(ns):
-        Dk = Dpad[:, :, 1 + k]                           # (B, R + 2)
-        # span k of atom a sums terms with a0 == a - k:
-        #   W_k[a] = D[a - k + 1] - D[a - k]   (static slices)
-        wk = (Dk[:, 3 - k: 3 - k + acap] - Dk[:, 2 - k: 2 - k + acap])
-        out = wk if out is None else out + wk
-    return ([out[i] for i in range(B)], [totals[i] for i in range(B)])
-
-
 @functools.partial(jax.jit, static_argnames=("spans", "interpret"))
 def _emit_pack_compact(ctms_b, counts_b, tabs_small, *, spans: tuple,
                        interpret: bool = False):
@@ -1359,7 +1233,6 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     trees = []
     emit_rows = []
     shorts = []
-    bits_i = []
     for i in range(B):
         freq = freqs[i].copy()
         freq[256] += 1
@@ -1368,16 +1241,6 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
         trees.append((lit_l, dist_l))
         emit_rows.append(_emit_tables(lit_l, dist_l))
         shorts.append(max_term_bits(lit_l, dist_l, freqs[i]) <= 33)
-        # exact packed-token bit count (terms only, no EOB) — sizes the
-        # cumsum-difference pack's atom rows tightly
-        f = freqs[i]
-        bits_i.append(
-            int((f[:286] * np.asarray(lit_l[:286], np.int64)).sum())
-            + int((f[257:286] * np.asarray(C.RUN_EXTRA[:29],
-                                           np.int64)).sum())
-            + int((f[288:318] * (np.asarray(dist_l[:30], np.int64)
-                                 + np.asarray(C.DISTANCE_EXTRA[:30],
-                                              np.int64))).sum()))
     # term emission + packing run as ONE fused program: a batched
     # sublane one-hot emit kernel (the pack_terms32 route cost two
     # ~8.6 ns/term gathers per image) feeding per-image scatter packs —
@@ -1393,19 +1256,9 @@ def optimal_pipeline_batch(datas: list[bytes], level: int = 9,
     spans = tuple(2 if s else 3 for s in shorts)
     counts = []
     if skip_compact:
-        if os.environ.get("SPT_PACK_CS") == "1":
-            # cumsum-difference pack (A/B lane): atoms-proportional
-            # random access instead of the 2×slots scatter
-            r1k = lambda x: -(-x // 1024) * 1024
-            acap = r1k(max(-(-b // 32) for b in bits_i) + 8)
-            atoms_list, totals = _emit_pack_grid_cs(
-                terms_r, valid_r, tabs_small, spans=spans, acap=acap,
-                bcap=r1k(sum(-(-b // 32) + 2 for b in bits_i)),
-                interpret=interpret)
-        else:
-            atoms_list, totals = _emit_pack_grid(
-                terms_r, valid_r, tabs_small, spans=spans,
-                interpret=interpret)
+        atoms_list, totals = _emit_pack_grid(
+            terms_r, valid_r, tabs_small, spans=spans,
+            interpret=interpret)
         counts = [jnp.asarray(np.int32(n_terms[i])) for i in range(B)]
     elif cap % 1024 == 0:
         atoms_list, totals = _emit_pack_compact(

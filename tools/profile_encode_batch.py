@@ -172,37 +172,12 @@ def main():
         [pack_emit_table(*emit_rows[i]) for i in range(B)]))
     spans = tuple(2 if s else 3 for s in shorts)
 
-    if os.environ.get("SPT_PACK_CS") == "1":
-        from swift_png_tpu.lz77 import constants as CC
+    def fused():
+        return DO._emit_pack_grid(terms_r, valid_r, tabs_small,
+                                  spans=spans)
 
-        bits_i = []
-        for i in range(B):
-            f = freqs[i]
-            lit_l, dist_l = trees[i]
-            bits_i.append(
-                int((f[:286] * np.asarray(lit_l[:286], np.int64)).sum())
-                + int((f[257:286] * np.asarray(CC.RUN_EXTRA[:29],
-                                               np.int64)).sum())
-                + int((f[288:318] * (np.asarray(dist_l[:30], np.int64)
-                                     + np.asarray(CC.DISTANCE_EXTRA[:30],
-                                                  np.int64))).sum()))
-        r1k = lambda x: -(-x // 1024) * 1024
-        acap = r1k(max(-(-b // 32) for b in bits_i) + 8)
-        bcap = r1k(sum(-(-b // 32) + 2 for b in bits_i))
-
-        def fused():
-            return DO._emit_pack_grid_cs(terms_r, valid_r, tabs_small,
-                                         spans=spans, acap=acap, bcap=bcap)
-
-        t("fused emit+pack (CS)", fused,
-          sync=lambda r: float(np.asarray(r[1][-1])))
-    else:
-        def fused():
-            return DO._emit_pack_grid(terms_r, valid_r, tabs_small,
-                                      spans=spans)
-
-        t("fused emit+pack (grid)", fused,
-          sync=lambda r: float(np.asarray(r[1][-1])))
+    t("fused emit+pack (grid)", fused,
+      sync=lambda r: float(np.asarray(r[1][-1])))
 
 
 if __name__ == "__main__":
